@@ -1,0 +1,161 @@
+"""Differentiable mean-shift clustering on the unit hypersphere.
+
+TPU-native re-design of reference src/mean_shift.py. Key differences:
+
+* The shift iteration is a `lax.fori_loop` over a fixed iteration count; the
+  kernel matrix K = exp((<m, x> - 1)/b^2) is numerically safe by construction
+  (exponent <= 0 on the sphere) — no guard_exp needed.
+* Non-max suppression (reference: src/mean_shift.py:139-179) is fixed-shape:
+  the numpy `unique` + scatter round-trips become masked argmax/segment-sum,
+  and cluster ids are compacted with a cumulative-sum ranking so results are
+  identical but the whole pipeline stays inside one jit.
+* The bandwidth-escalation guard (double the quantile until <= max_clusters;
+  reference: src/mean_shift.py:81-96, src/residual_utils.py:69-84) is a
+  bounded `lax.while_loop`. The quantile-th neighbour distance is read from a
+  pre-sorted distance matrix so the loop can change the quantile dynamically.
+
+Shapes: X is [N, D] (unit-norm rows). All outputs are fixed-shape; the number
+of clusters is returned as a traced scalar.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.guards import guard_sqrt
+
+
+class MeanShiftResult(NamedTuple):
+    shifted: jnp.ndarray      # [N, D] shifted (cluster-center) embedding per point
+    center_mask: jnp.ndarray  # [N] 1.0 where point index is a surviving center
+    labels: jnp.ndarray       # [N] int32 compacted cluster id per point
+    bandwidth: jnp.ndarray    # scalar
+    num_clusters: jnp.ndarray # scalar int32
+
+
+def _sorted_subset_sqdist(X: jnp.ndarray, key: Optional[jax.Array],
+                          num_samples: int) -> jnp.ndarray:
+    """Row-sorted pairwise sq. distances of a random subset [S, S] ascending."""
+    n = X.shape[0]
+    s = min(num_samples, n)
+    if key is not None and s < n:
+        idx = jax.random.permutation(key, n)[:s]
+        Xs = X[idx]
+    else:
+        Xs = X[:s]
+    d = 2.0 - 2.0 * jnp.dot(Xs, Xs.T, preferred_element_type=jnp.float32)
+    return jnp.sort(d, axis=-1)
+
+
+def bandwidth_from_sorted(sorted_d: jnp.ndarray, quantile: jnp.ndarray,
+                          min_bw: float = 0.003) -> jnp.ndarray:
+    """Mean over rows of the sqrt of the quantile-th NN distance
+    (reference: src/mean_shift.py:115-137). `quantile` may be traced."""
+    s = sorted_d.shape[0]
+    k = jnp.clip((quantile * s).astype(jnp.int32), 1, s - 1)
+    # reference takes the K smallest distances per row and uses the largest of
+    # them == ascending-sorted index K-1 (the row's own zero distance occupies
+    # index 0, matching torch.topk(largest=False) behaviour).
+    kth = jnp.take_along_axis(sorted_d, jnp.full((s, 1), k - 1), axis=1)[:, 0]
+    bw = jnp.mean(guard_sqrt(kth, 1e-6))
+    return jnp.maximum(bw, min_bw)
+
+
+def mean_shift_iterations(X: jnp.ndarray, bandwidth: jnp.ndarray,
+                          iterations: int, kernel: str = "gaussian") -> jnp.ndarray:
+    """Fixed-count mean-shift updates (reference: src/mean_shift.py:45-79).
+
+    new_m <- normalize(  (K @ X) / rowsum(K) ),
+    K = exp(-(2 - 2 m.x) / 2 b^2)   (gaussian)  or Epanechnikov.
+    The gaussian exponent is <= 0 so exp never overflows.
+    """
+    inv2b2 = 1.0 / (2.0 * bandwidth * bandwidth)
+
+    def body(_, m):
+        dots = jnp.dot(m, X.T, preferred_element_type=jnp.float32)
+        if kernel == "gaussian":
+            K = jnp.exp((2.0 * dots - 2.0) * inv2b2)
+        else:  # epanechnikov
+            K = jax.nn.relu(0.75 * (1.0 - (2.0 - 2.0 * dots) / (bandwidth ** 2)))
+        denom = jnp.sum(K, axis=1, keepdims=True) + 1e-12
+        new_m = jnp.dot(K, X, preferred_element_type=jnp.float32) / denom
+        return new_m / (jnp.linalg.norm(new_m, axis=1, keepdims=True) + 1e-12)
+
+    return lax.fori_loop(0, iterations, body, X)
+
+
+def nms(shifted: jnp.ndarray, X: jnp.ndarray, bandwidth: jnp.ndarray):
+    """Fixed-shape non-max suppression (reference: src/mean_shift.py:139-179).
+
+    Returns (center_mask [N], labels [N] int32 compacted, num_clusters).
+    """
+    n = X.shape[0]
+    # nearest shifted-center for every input point
+    scores = jnp.dot(shifted, X.T, preferred_element_type=jnp.float32)  # [N,N]
+    member_of = jnp.argmax(scores, axis=0)  # dist = 2-2*score, so argmin dist
+    counts = jnp.zeros((n,), jnp.float32).at[member_of].add(1.0)
+    valid = counts > 0
+    # centers within `bandwidth` of each other compete; the one with the most
+    # members wins (reference uses dist < b on squared-distance scale).
+    cdist = 2.0 - 2.0 * jnp.dot(shifted, shifted.T,
+                                preferred_element_type=jnp.float32)
+    nbrs = (cdist < bandwidth).astype(jnp.float32)
+    winner = jnp.argmax(nbrs * counts[None, :], axis=1)  # [N]
+    center_mask = jnp.zeros((n,), jnp.float32).at[winner].max(
+        valid.astype(jnp.float32))
+    # assign each point to its best surviving center, compacting ids by rank
+    masked_scores = jnp.where(center_mask[:, None] > 0, scores, -jnp.inf)
+    best_center = jnp.argmax(masked_scores, axis=0)  # [N] point-index of center
+    rank = jnp.cumsum(center_mask).astype(jnp.int32) - 1  # [N]
+    labels = rank[best_center]
+    num_clusters = jnp.sum(center_mask).astype(jnp.int32)
+    return center_mask, labels, num_clusters
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "iterations",
+                                             "kernel", "max_clusters",
+                                             "max_doublings"))
+def guard_mean_shift(X: jnp.ndarray, quantile: float,
+                     key: Optional[jax.Array] = None,
+                     num_samples: int = 5000, iterations: int = 10,
+                     kernel: str = "gaussian", max_clusters: int = 49,
+                     max_doublings: int = 8) -> MeanShiftResult:
+    """Mean-shift with bandwidth escalation until <= max_clusters clusters
+    (reference: src/mean_shift.py:81-96). Bounded while_loop, one compile."""
+    sorted_d = lax.stop_gradient(_sorted_subset_sqdist(X, key, num_samples))
+
+    def attempt(q):
+        bw = bandwidth_from_sorted(sorted_d, q)
+        shifted = mean_shift_iterations(X, bw, iterations, kernel)
+        center_mask, labels, k = nms(lax.stop_gradient(shifted),
+                                     lax.stop_gradient(X), bw)
+        return MeanShiftResult(shifted, center_mask, labels, bw, k)
+
+    def cond(carry):
+        i, q, res = carry
+        return (res.num_clusters > max_clusters) & (i < max_doublings)
+
+    def body(carry):
+        i, q, _ = carry
+        q = q * 2.0
+        return i + 1, q, attempt(q)
+
+    q0 = jnp.asarray(quantile, jnp.float32)
+    init = (jnp.int32(0), q0, attempt(q0))
+    _, _, res = lax.while_loop(cond, body, init)
+    return res
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "iterations", "kernel"))
+def mean_shift(X: jnp.ndarray, quantile: float,
+               key: Optional[jax.Array] = None, num_samples: int = 5000,
+               iterations: int = 10, kernel: str = "gaussian"):
+    """Single mean-shift pass without NMS (reference: src/mean_shift.py:19-43
+    with nms=False). Returns (shifted, bandwidth)."""
+    sorted_d = lax.stop_gradient(_sorted_subset_sqdist(X, key, num_samples))
+    bw = bandwidth_from_sorted(sorted_d, jnp.asarray(quantile, jnp.float32))
+    return mean_shift_iterations(X, bw, iterations, kernel), bw
