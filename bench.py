@@ -1,0 +1,94 @@
+"""End-to-end throughput benchmark on the real chip.
+
+Measures the full inference pipeline per ABC-scale shape (10k points):
+segmentation forward (DGCNN, k=80) -> mean-shift clustering (50 iterations,
+quantile 0.015, NMS + bandwidth guard) -> per-segment primitive fits +
+surface sampling + residual/coverage metrics — i.e. the work of the
+reference's generate_predictions.py + test.py per shape.
+
+Prints ONE JSON line:
+  {"metric": "abc_shapes_per_hour_e2e", "value": N, "unit": "shapes/hour",
+   "vs_baseline": N / 10000}
+vs_baseline compares against the driver north star of 10,000 shapes/hour on
+a v5e-8 (BASELINE.md); this bench runs on however many chips are visible and
+scales per-chip numbers linearly only across the REAL device count.
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NUM_POINTS = 10000
+WARMUP = 2
+ITERS = 8
+
+
+def main():
+    from parsenet_tpu.data.synthetic import make_shape_batch
+    from parsenet_tpu.eval.pipeline import predict_segmentation, reconstruct_shape
+    from parsenet_tpu.models.dgcnn import PrimitivesEmbedding
+    from parsenet_tpu.train.train_e2e import build_spline_fit
+
+    n_dev = len(jax.devices())
+    model = PrimitivesEmbedding(emb_size=128, num_primitives=10, mode=5, k=80)
+    rng = jax.random.PRNGKey(0)
+    x_init = jnp.zeros((1, NUM_POINTS, 6))
+    variables = model.init(rng, x_init)
+    params = variables["params"]
+    apply_fn = jax.jit(lambda x: model.apply({"params": params}, x))
+    spline_fit = build_spline_fit(grid=20)
+
+    host = np.random.RandomState(0)
+    pts, labels, normals, prim = make_shape_batch(host, WARMUP + ITERS,
+                                                  NUM_POINTS)
+    xs = np.concatenate([pts, normals], -1).astype(np.float32)
+
+    key = jax.random.PRNGKey(1)
+
+    def one_shape(i, key):
+        k1, k2 = jax.random.split(key)
+        pred = predict_segmentation(apply_fn, jnp.asarray(xs[i]),
+                                    jnp.asarray(labels[i]),
+                                    jnp.asarray(prim[i]), k1)
+        rec = reconstruct_shape(jnp.asarray(pts[i]), jnp.asarray(normals[i]),
+                                pred.labels, pred.pred_prim, k2,
+                                spline_fit=spline_fit)
+        return pred, rec
+
+    # warmup/compile
+    for i in range(WARMUP):
+        key, sub = jax.random.split(key)
+        pred, rec = one_shape(i, sub)
+        jax.block_until_ready(rec.residual)
+
+    t0 = time.perf_counter()
+    for i in range(WARMUP, WARMUP + ITERS):
+        key, sub = jax.random.split(key)
+        pred, rec = one_shape(i, sub)
+    jax.block_until_ready(rec.residual)
+    dt = time.perf_counter() - t0
+
+    shapes_per_sec = ITERS / dt
+    shapes_per_hour = shapes_per_sec * 3600.0
+    out = {
+        "metric": "abc_shapes_per_hour_e2e",
+        "value": round(shapes_per_hour, 1),
+        "unit": "shapes/hour",
+        "vs_baseline": round(shapes_per_hour / 10000.0, 4),
+        "detail": {
+            "per_shape_ms": round(1000.0 * dt / ITERS, 2),
+            "devices": n_dev,
+            "num_points": NUM_POINTS,
+            "residual": float(rec.residual),
+            "seg_iou": float(pred.seg_iou),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Checkpointing via orbax.
+
+Equivalent of the reference's torch.save-on-best-val (train_parsenet.py:
+279-289) plus periodic iteration-indexed saves (train_parsenet_e2e.py:
+298-306). Saves the full train state pytree (params, batch_stats, opt_state,
+step, best metric) and restores it for resume.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+
+class Checkpointer:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.mngr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                                 create=True),
+        )
+
+    def save(self, step: int, state: Any, force: bool = False) -> None:
+        self.mngr.save(step, args=ocp.args.StandardSave(state), force=force)
+
+    def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
+        step = self.mngr.latest_step() if step is None else step
+        if step is None:
+            return None
+        return self.mngr.restore(step, args=ocp.args.StandardRestore(state_like))
+
+    def latest_step(self) -> Optional[int]:
+        return self.mngr.latest_step()
+
+    def wait(self) -> None:
+        self.mngr.wait_until_finished()
+
+
+class PlateauScheduler:
+    """Host-side ReduceLROnPlateau (torch semantics, mode=min):
+    if the monitored metric does not improve for `patience` epochs, scale the
+    lr by `factor` (reference: train_parsenet.py:137-140, patience 8,
+    factor 0.5)."""
+
+    def __init__(self, lr: float, patience: int = 8, factor: float = 0.5,
+                 min_lr: float = 1e-7, eps: float = 1e-8):
+        self.lr = lr
+        self.patience = patience
+        self.factor = factor
+        self.min_lr = min_lr
+        self.eps = eps
+        self.best = float("inf")
+        self.bad_epochs = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best - self.eps:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.bad_epochs = 0
+        return self.lr

@@ -7,9 +7,29 @@ gradient outside the safe region, matching torch.clamp semantics).
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 EPS = jnp.finfo(jnp.float32).eps
+
+
+def highest_precision(fn):
+    """Trace the wrapped function with full-f32 matmul precision.
+
+    On TPU (and this environment's XLA CPU) the DEFAULT matmul precision is
+    single-pass bf16 — great for the network convs, fatal for geometry:
+    pairwise distances, 3x3 eigen/solve systems, one-hot count matrices and
+    basis-matrix surface evaluation all need exact f32. Wrapping the
+    correctness-critical leaf ops keeps the big model matmuls fast while the
+    fitting/metric stack stays accurate.
+    """
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+    return wrapper
 
 
 def guard_exp(x, max_value: float = 75.0, min_value: float = -75.0):

@@ -1,0 +1,211 @@
+"""Inference + evaluation pipelines.
+
+Equivalents of the reference's two-stage evaluation:
+
+* `predict_segmentation` — generate_predictions.py:108-165: network forward,
+  mean-shift clustering (quantile 0.015, 50 iterations), cluster ids +
+  per-point predicted primitive types, SIOU metrics.
+* `reconstruct_shape` — test.py:108-168 + residual_utils.py:210-331
+  (residual_eval_mode): hard one-hot membership, per-segment primitive type
+  by vote, geometric fits + spline decoders per segment, surfaces sampled on
+  parameter grids, residual (sqrt distance) and coverage metrics
+  (sk/pk @ {0.01, 0.02}, two-sided sqrt chamfer).
+
+Everything runs as fixed-shape jitted programs; per-segment point sets are
+gathered to constant sizes by sampling with replacement (the reference
+upsamples segments into fixed ranges for SplineNet anyway,
+primitive_forward.py:986-1036).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.guards import EPS
+from ..ops.chamfer import min_sqdist
+from ..ops.mean_shift import guard_mean_shift
+from ..ops.primitive_dist import (GEOM_CONE, GEOM_CYLINDER, GEOM_PLANE,
+                                  GEOM_SPHERE, geom_type_from_label,
+                                  residual_select)
+from ..ops.primitive_fits import fit_all_primitives_shared_points
+from ..ops.sampling import (sample_cone, sample_cylinder, sample_plane,
+                            sample_sphere)
+from ..ops.segmentation import (K_MAX, primitive_type_per_segment,
+                                remap_primitive_labels,
+                                siou_matched_segments, to_one_hot)
+
+EVAL_SPLINE_SLOTS = 12
+SPLINE_PTS = 1536  # reference upsamples into [1000,1800]
+SURF_GRID = 64     # per-primitive sample grid (64^2 = 4096 samples)
+
+
+class SegmentationPrediction(NamedTuple):
+    labels: jnp.ndarray          # [N] cluster id per point
+    pred_prim: jnp.ndarray       # [N] predicted primitive type per point
+    embedding: jnp.ndarray       # [N, D]
+    seg_iou: jnp.ndarray
+    prim_iou: jnp.ndarray
+    num_clusters: jnp.ndarray
+
+
+def predict_segmentation(apply_fn: Callable, x: jnp.ndarray,
+                         gt_labels: jnp.ndarray, gt_prim: jnp.ndarray,
+                         key: jax.Array, quantile: float = 0.015,
+                         iterations: int = 50,
+                         ms_num_samples: int = 5000) -> SegmentationPrediction:
+    """One shape. apply_fn(x[None]) -> (embedding [1,N,D], prim_logp [1,N,C])."""
+    emb, prim_logp = apply_fn(x[None])
+    emb = emb[0]
+    pred_prim = jnp.argmax(prim_logp[0], axis=-1)
+    embn = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-12)
+    ms = guard_mean_shift(embn, quantile, key=key,
+                          num_samples=ms_num_samples, iterations=iterations)
+    w = to_one_hot(ms.labels)
+    seg_iou, prim_iou = siou_matched_segments(gt_labels, ms.labels,
+                                              pred_prim, gt_prim, w)
+    return SegmentationPrediction(ms.labels, pred_prim, emb, seg_iou,
+                                  prim_iou, ms.num_clusters)
+
+
+class Reconstruction(NamedTuple):
+    surface_points: jnp.ndarray  # [K_slots, S, 3] sampled predicted surfaces
+    surface_mask: jnp.ndarray    # [K_slots] validity
+    seg_of_slot: jnp.ndarray     # [K_slots] segment id of each surface
+    residual: jnp.ndarray        # mean sqrt distance of points to own surface
+    p_cov: jnp.ndarray           # two-sided sqrt chamfer (pred<->input)
+    sk_1: jnp.ndarray            # fraction of input within 0.01 of prediction
+    sk_2: jnp.ndarray            # ... within 0.02
+
+
+def _sample_segment_points(points: jnp.ndarray, labels: jnp.ndarray,
+                           seg: jnp.ndarray, n_out: int,
+                           key: jax.Array) -> jnp.ndarray:
+    """Fixed-size with-replacement sample of points with labels == seg."""
+    n = points.shape[0]
+    order = jnp.argsort(labels)
+    counts = jnp.zeros((K_MAX,), jnp.float32).at[labels].add(1.0)
+    starts = jnp.cumsum(counts) - counts
+    u = jax.random.uniform(key, (n_out,))
+    pos = (starts[seg] + jnp.floor(u * jnp.maximum(counts[seg], 1.0))
+           ).astype(jnp.int32)
+    return points[order[jnp.clip(pos, 0, n - 1)]]
+
+
+@functools.partial(jax.jit, static_argnames=("spline_fit", "max_spline_slots"))
+def reconstruct_shape(points: jnp.ndarray, normals: jnp.ndarray,
+                      pred_labels: jnp.ndarray, pred_prim: jnp.ndarray,
+                      key: jax.Array, spline_fit: Optional[Callable] = None,
+                      max_spline_slots: int = EVAL_SPLINE_SLOTS
+                      ) -> Reconstruction:
+    """Eval-mode fitting of one clustered shape.
+
+    points/normals: [N, 3]; pred_labels: [N] cluster ids; pred_prim: [N]
+    per-point predicted types. Mirrors residual_eval_mode: hard one-hot
+    weights, per-segment type = weighted vote, all segments fitted.
+    """
+    N = points.shape[0]
+    oh = to_one_hot(pred_labels)                      # [N, K]
+    counts = jnp.sum(oh, axis=0)
+    valid = counts >= 20                              # reference drop rule
+
+    prim_oh = jax.nn.one_hot(remap_primitive_labels(pred_prim), 10,
+                             dtype=jnp.float32)
+    seg_type10 = primitive_type_per_segment(prim_oh, oh)  # [K] in remapped tax
+    geom_type = geom_type_from_label(seg_type10)
+    is_spline = (seg_type10 == 2) | (seg_type10 == 9)
+    # spline patches below 100 points are dropped (reference rule); treat the
+    # segment as its best geometric approximation instead of skipping so the
+    # coverage metric still sees it
+    spline_ok = is_spline & (counts >= 100)
+
+    W = oh.T + EPS                                    # [K, N] hard weights
+    params = fit_all_primitives_shared_points(points, normals, W)
+
+    seg_mask = oh.T                                   # [K, N]
+
+    # ---- geometric surface samples for every segment (cheap, vmapped)
+    def sample_geom(k):
+        t = geom_type[k]
+        m = seg_mask[k]
+        plane_s = sample_plane(params.plane.normal[k], params.plane.offset[k],
+                               points, m, SURF_GRID)
+        sphere_s = sample_sphere(params.sphere.center[k],
+                                 params.sphere.radius[k], SURF_GRID)
+        cyl_s = sample_cylinder(params.cylinder.axis[k],
+                                params.cylinder.center[k],
+                                params.cylinder.radius[k], points, m, SURF_GRID)
+        cone_s = sample_cone(params.cone.apex[k], params.cone.axis[k],
+                             params.cone.theta[k], points, m, SURF_GRID)
+        out = plane_s
+        out = jnp.where(t == GEOM_SPHERE, sphere_s, out)
+        out = jnp.where(t == GEOM_CYLINDER, cyl_s, out)
+        out = jnp.where(t == GEOM_CONE, cone_s, out)
+        return out
+
+    geom_surf = jax.vmap(sample_geom)(jnp.arange(K_MAX))  # [K, G^2, 3]
+
+    # ---- spline slots: largest spline segments first
+    rank_key = jnp.where(spline_ok, counts, -1.0)
+    slot_seg = lax.top_k(rank_key, max_spline_slots)[1]
+    slot_valid = spline_ok[slot_seg]
+
+    surf = geom_surf
+    if spline_fit is not None:
+        keys = jax.random.split(key, max_spline_slots)
+
+        def run_slot(args):
+            seg, kk = args
+            pts = _sample_segment_points(points, pred_labels, seg,
+                                         SPLINE_PTS, kk)
+            return spline_fit(pts, jnp.ones((SPLINE_PTS,)),
+                              seg_type10[seg] == 9)
+
+        spline_surf = lax.map(run_slot, (slot_seg, keys))  # [S, G', 3]
+        # pad/crop spline samples to the geometric sample count
+        g2 = geom_surf.shape[1]
+        s2 = spline_surf.shape[1]
+        if s2 >= g2:
+            spline_surf = spline_surf[:, :g2]
+        else:
+            reps = -(-g2 // s2)
+            spline_surf = jnp.tile(spline_surf, (1, reps, 1))[:, :g2]
+        use = slot_valid[:, None, None]
+        surf = surf.at[slot_seg].set(
+            jnp.where(use, spline_surf, surf[slot_seg]))
+
+    # ---- residual: closed-form sqrt distance of each point to its own
+    # segment's fitted primitive (the reference's ResidualLoss definition,
+    # primitives.py:36-44 — sampling-free, so no grid-density artifact);
+    # spline slots use the min distance to the sampled decoder surface.
+    d_geom = residual_select(points, params, geom_type)          # [K, N]
+    d_geom_own = d_geom[pred_labels, jnp.arange(N)]              # [N]
+    if spline_fit is not None:
+        spline_used = jnp.zeros((K_MAX,), bool).at[slot_seg].set(slot_valid)
+        own_surf = surf[pred_labels]                             # [N, G^2, 3]
+        d_samp = jax.vmap(lambda p, s: jnp.min(jnp.sum((s - p) ** 2, -1)))(
+            points, own_surf)
+        d_own = jnp.where(spline_used[pred_labels], d_samp, d_geom_own)
+    else:
+        d_own = d_geom_own
+    pt_valid = valid[pred_labels]
+    residual = (jnp.sum(jnp.sqrt(jnp.clip(d_own, min=1e-12)) * pt_valid)
+                / (jnp.sum(pt_valid) + EPS))
+
+    # ---- coverage: input points vs union of predicted surfaces
+    flat_surf = surf.reshape(-1, 3)
+    flat_mask = jnp.repeat(valid.astype(jnp.float32), surf.shape[1])
+    d_in = min_sqdist(points[None], flat_surf[None], flat_mask[None])[0]
+    d_in = jnp.sqrt(jnp.clip(d_in, min=1e-12))
+    d_out = min_sqdist(flat_surf[None], points[None])[0]
+    d_out = jnp.sqrt(jnp.clip(d_out, min=1e-12))
+    m_out = flat_mask
+    cov = 0.5 * (jnp.mean(d_in)
+                 + jnp.sum(d_out * m_out) / (jnp.sum(m_out) + EPS))
+    sk_1 = jnp.mean((d_in < 0.01).astype(jnp.float32))
+    sk_2 = jnp.mean((d_in < 0.02).astype(jnp.float32))
+    return Reconstruction(surf, valid, jnp.arange(K_MAX), residual, cov,
+                          sk_1, sk_2)

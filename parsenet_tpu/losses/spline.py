@@ -110,7 +110,7 @@ def laplacian_loss(output: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
         k = jnp.broadcast_to(_LAP_STENCIL, (3, 1, 3, 3))
         y = jax.lax.conv_general_dilated(
             x_, k, window_strides=(1, 1), padding="SAME",
-            feature_group_count=3)
+            feature_group_count=3, precision=jax.lax.Precision.HIGHEST)
         return y
 
     d = (lap(output) - lap(gt)) ** 2

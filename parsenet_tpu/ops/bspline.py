@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.special import comb
+from ..core.guards import highest_precision
 
 
 def basis_function_one(degree: int, knot_vector, span: int, knot: float) -> float:
@@ -97,6 +98,7 @@ def basis_matrix_at(params: np.ndarray, n_ctrl: int, degree: int) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=())
+@highest_precision
 def sample_surface(nu: jnp.ndarray, nv: jnp.ndarray, cp: jnp.ndarray) -> jnp.ndarray:
     """Evaluate surfaces on the parameter grid.
 
@@ -125,6 +127,7 @@ def bernstein_basis(n_ctrl: int, params: np.ndarray) -> np.ndarray:
 
 
 @jax.jit
+@highest_precision
 def fit_surface_kronecker(nu_p: jnp.ndarray, nv_p: jnp.ndarray,
                           points: jnp.ndarray, weights: jnp.ndarray,
                           lam: float = 1e-5) -> jnp.ndarray:

@@ -65,19 +65,26 @@ def _auction_phase(benefit: jnp.ndarray, prices: jnp.ndarray, eps: float,
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
-def solve_lap(cost: jnp.ndarray, max_iter: int = 4000) -> jnp.ndarray:
+def solve_lap(cost: jnp.ndarray, max_iter: int = 3000) -> jnp.ndarray:
     """Minimum-cost perfect matching of a square cost matrix [n, n].
 
     Returns col_of_row [n] int32 (object assigned to each row). Use
     jnp.argsort to invert if row_of_col is needed.
     """
-    benefit = -cost.astype(jnp.float32)
     n = cost.shape[0]
+    # Column-linear tie-breaker: adding f(j) to column j shifts every perfect
+    # matching's total cost by the same constant, so the optimal assignment
+    # set is EXACTLY preserved — but identical columns (ubiquitous here:
+    # empty segments in a padded K_MAX cost matrix) become strictly ordered,
+    # which turns the auction's eps-increment tie fights into single-round
+    # resolutions.
+    tie = 1e-5 * jnp.arange(n, dtype=jnp.float32)[None, :]
+    benefit = -(cost.astype(jnp.float32) + tie)
     prices = jnp.zeros((n,), jnp.float32)
     assignment = jnp.full((n,), -1, jnp.int32)
     # epsilon scaling: coarse-to-fine keeps iteration counts low and the
     # final eps guarantees near-exact optimality for [0,1]-scale costs.
-    for eps in (0.05, 5e-3, 5e-4, 1e-5 / n):
+    for eps in (0.02, 1e-3, 1e-5):
         assignment, prices = _auction_phase(benefit, prices, eps, max_iter)
     return assignment
 

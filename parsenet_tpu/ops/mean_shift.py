@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core.guards import guard_sqrt
+from ..core.guards import highest_precision
 
 
 class MeanShiftResult(NamedTuple):
@@ -37,6 +38,7 @@ class MeanShiftResult(NamedTuple):
     num_clusters: jnp.ndarray # scalar int32
 
 
+@highest_precision
 def _sorted_subset_sqdist(X: jnp.ndarray, key: Optional[jax.Array],
                           num_samples: int) -> jnp.ndarray:
     """Row-sorted pairwise sq. distances of a random subset [S, S] ascending."""
@@ -65,6 +67,7 @@ def bandwidth_from_sorted(sorted_d: jnp.ndarray, quantile: jnp.ndarray,
     return jnp.maximum(bw, min_bw)
 
 
+@highest_precision
 def mean_shift_iterations(X: jnp.ndarray, bandwidth: jnp.ndarray,
                           iterations: int, kernel: str = "gaussian") -> jnp.ndarray:
     """Fixed-count mean-shift updates (reference: src/mean_shift.py:45-79).
@@ -88,6 +91,7 @@ def mean_shift_iterations(X: jnp.ndarray, bandwidth: jnp.ndarray,
     return lax.fori_loop(0, iterations, body, X)
 
 
+@highest_precision
 def nms(shifted: jnp.ndarray, X: jnp.ndarray, bandwidth: jnp.ndarray):
     """Fixed-shape non-max suppression (reference: src/mean_shift.py:139-179).
 
@@ -125,19 +129,26 @@ def guard_mean_shift(X: jnp.ndarray, quantile: float,
                      kernel: str = "gaussian", max_clusters: int = 49,
                      max_doublings: int = 8) -> MeanShiftResult:
     """Mean-shift with bandwidth escalation until <= max_clusters clusters
-    (reference: src/mean_shift.py:81-96). Bounded while_loop, one compile."""
+    (reference: src/mean_shift.py:81-96). Bounded while_loop, one compile.
+
+    Differentiability: the escalation loop runs on stop-gradient data to FIND
+    the accepted bandwidth (lax.while_loop is not reverse-differentiable);
+    the accepted configuration is then re-run once differentiably. This
+    matches the reference, where only the final accepted mean-shift pass
+    carries gradients into the fitting loss.
+    """
     sorted_d = lax.stop_gradient(_sorted_subset_sqdist(X, key, num_samples))
+    X_ng = lax.stop_gradient(X)
 
     def attempt(q):
         bw = bandwidth_from_sorted(sorted_d, q)
-        shifted = mean_shift_iterations(X, bw, iterations, kernel)
-        center_mask, labels, k = nms(lax.stop_gradient(shifted),
-                                     lax.stop_gradient(X), bw)
-        return MeanShiftResult(shifted, center_mask, labels, bw, k)
+        shifted = mean_shift_iterations(X_ng, bw, iterations, kernel)
+        _, _, k = nms(shifted, X_ng, bw)
+        return k
 
     def cond(carry):
-        i, q, res = carry
-        return (res.num_clusters > max_clusters) & (i < max_doublings)
+        i, q, k = carry
+        return (k > max_clusters) & (i < max_doublings)
 
     def body(carry):
         i, q, _ = carry
@@ -145,9 +156,13 @@ def guard_mean_shift(X: jnp.ndarray, quantile: float,
         return i + 1, q, attempt(q)
 
     q0 = jnp.asarray(quantile, jnp.float32)
-    init = (jnp.int32(0), q0, attempt(q0))
-    _, _, res = lax.while_loop(cond, body, init)
-    return res
+    _, q_acc, _ = lax.while_loop(cond, body, (jnp.int32(0), q0, attempt(q0)))
+
+    # differentiable re-run at the accepted bandwidth
+    bw = bandwidth_from_sorted(sorted_d, q_acc)
+    shifted = mean_shift_iterations(X, bw, iterations, kernel)
+    center_mask, labels, k = nms(lax.stop_gradient(shifted), X_ng, bw)
+    return MeanShiftResult(shifted, center_mask, labels, bw, k)
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "iterations", "kernel"))

@@ -19,7 +19,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..core.guards import EPS, guard_sqrt, safe_acos
+from ..core.guards import EPS, guard_sqrt, safe_acos, highest_precision
 from .linalg import ridge_lstsq, smallest_eigvec
 
 
@@ -45,6 +45,7 @@ class ConeParams(NamedTuple):
     theta: jnp.ndarray   # [...] half-angle
 
 
+@highest_precision
 def fit_plane(points: jnp.ndarray, weights: jnp.ndarray) -> PlaneParams:
     """Weighted plane fit (reference: src/primitive_forward.py:708-729).
 
@@ -61,8 +62,9 @@ def fit_plane(points: jnp.ndarray, weights: jnp.ndarray) -> PlaneParams:
     return PlaneParams(a, d)
 
 
+@highest_precision
 def fit_sphere(points: jnp.ndarray, weights: jnp.ndarray,
-               lam: float = 0.01) -> SphereParams:
+               lam: float = 1e-6) -> SphereParams:
     """Weighted sphere fit via linear least squares for the center
     (reference: src/primitive_forward.py:746-769), then the weighted RMS
     radius. Mirrors the reference's double weighting of the linear system.
@@ -80,6 +82,7 @@ def fit_sphere(points: jnp.ndarray, weights: jnp.ndarray,
     return SphereParams(center, radius)
 
 
+@highest_precision
 def fit_cylinder(points: jnp.ndarray, normals: jnp.ndarray,
                  weights: jnp.ndarray) -> CylinderParams:
     """Weighted cylinder fit (reference: src/primitive_forward.py:784-806).
@@ -93,10 +96,18 @@ def fit_cylinder(points: jnp.ndarray, normals: jnp.ndarray,
     a = smallest_eigvec(jnp.dot(WN.T, WN, preferred_element_type=jnp.float32))
     a = a / (jnp.linalg.norm(a) + EPS)
     prj = points - jnp.dot(points, a)[:, None] * a[None, :]
-    center, radius = fit_sphere(prj, weights)
+    center, _ = fit_sphere(prj, weights)
+    # the projected circle lies exactly in the plane through the origin
+    # perpendicular to `a`; remove any ridge-ambiguous drift of the center
+    # along `a` (rank-deficient direction) and recompute the radius in-plane.
+    center = center - jnp.dot(center, a) * a
+    wsum = jnp.sum(weights) + EPS
+    r2 = jnp.sum(weights * jnp.sum((prj - center) ** 2, axis=1)) / wsum
+    radius = guard_sqrt(jnp.clip(r2, min=1e-6))
     return CylinderParams(a, center, radius)
 
 
+@highest_precision
 def fit_cone(points: jnp.ndarray, normals: jnp.ndarray,
              weights: jnp.ndarray) -> ConeParams:
     """Weighted cone fit (reference: src/primitive_forward.py:808-843).
@@ -108,9 +119,12 @@ def fit_cone(points: jnp.ndarray, normals: jnp.ndarray,
     w = weights[:, None]
     A = w * normals
     Y = w * jnp.sum(normals * points, axis=1, keepdims=True)
-    apex = ridge_lstsq(A, Y, 1e-3)[:, 0]
+    apex = ridge_lstsq(A, Y, 1e-4)[:, 0]
     a, _ = fit_plane(normals, weights)
-    flip = jnp.where(jnp.sum(jnp.dot(normals, a)) > 0, -1.0, 1.0)
+    # weighted flip: the reference sums over the segment's own normals only
+    # (src/primitive_forward.py:826-829); with shared-cloud weighting the sum
+    # must be weighted or other segments' normals can flip the axis
+    flip = jnp.where(jnp.sum(weights * jnp.dot(normals, a)) > 0, -1.0, 1.0)
     a = a * flip
     diff = points - apex
     diff = diff / (jnp.linalg.norm(diff, axis=1, keepdims=True) + EPS)

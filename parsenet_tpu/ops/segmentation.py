@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from .hungarian import solve_lap
+from ..core.guards import highest_precision
 
 K_MAX = 50  # max segments per shape (reference: src/segment_utils.py:283)
 
@@ -21,6 +22,7 @@ def to_one_hot(labels: jnp.ndarray, k_max: int = K_MAX) -> jnp.ndarray:
     return jax.nn.one_hot(labels, k_max, dtype=jnp.float32)
 
 
+@highest_precision
 def relaxed_iou(pred_one_hot: jnp.ndarray, gt_one_hot: jnp.ndarray) -> jnp.ndarray:
     """Soft IoU cost matrix between segmentations.
 
@@ -54,6 +56,7 @@ def remap_primitive_labels(prim: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(p == 8, 2, p)
 
 
+@highest_precision
 def primitive_type_per_segment(prim_one_hot: jnp.ndarray,
                                weights: jnp.ndarray) -> jnp.ndarray:
     """Weighted vote for the primitive type of each predicted segment.

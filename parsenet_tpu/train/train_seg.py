@@ -1,0 +1,174 @@
+"""ParSeNet segmentation trainer.
+
+Equivalent of reference train_parsenet.py: PrimitivesEmbedding (DGCNN) with
+triplet embedding loss + primitive NLL, Adam + ReduceLROnPlateau on val
+embedding loss, gradient accumulation, random point subsampling 10000 -> 7000,
+best checkpointing, mIoU tracking.
+
+TPU-native: one jitted step over the batch-sharded mesh; gradient
+accumulation is a lax.scan over micro-batches inside the step (the reference
+loops .backward() three times, train_parsenet.py:150-198); the triplet loss
+is the vectorized losses.embedding version instead of a host numpy loop.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import Checkpointer, PlateauScheduler
+from ..core.config import Config
+from ..losses.embedding import primitive_nll_loss, triplet_loss
+from ..models.dgcnn import PrimitivesEmbedding
+from ..ops.segmentation import mean_iou_per_class
+from ..parallel.mesh import batch_sharding, make_mesh, replicate
+from .state import TrainState, create_state, grad_finite
+
+log = logging.getLogger(__name__)
+
+
+def make_step_fns(model: PrimitivesEmbedding, num_accum: int = 1):
+    def loss_fn(params, points, labels, prim, key):
+        emb, prim_logp = model.apply({"params": params}, points)
+        e_loss = triplet_loss(emb, labels, key)
+        p_loss = primitive_nll_loss(prim_logp, prim)
+        metrics = {"embed_loss": e_loss, "prim_loss": p_loss,
+                   "miou": mean_iou_per_class(prim, prim_logp)}
+        return e_loss + p_loss, metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, points, labels, prim, key, lr):
+        """points: [A, B, N, C] micro-batches (A = accumulation steps)."""
+        keys = jax.random.split(key, points.shape[0])
+
+        def micro(carry, xs):
+            g_acc, m_acc = carry
+            pts, lab, pr, k = xs
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, pts, lab, pr, k)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+            m_acc = jax.tree_util.tree_map(jnp.add, m_acc, metrics)
+            return (g_acc, m_acc), None
+
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        zero_m = {"embed_loss": 0.0, "prim_loss": 0.0, "miou": 0.0}
+        (grads, metrics), _ = jax.lax.scan(
+            micro, (zero_g, zero_m), (points, labels, prim, keys))
+        inv = 1.0 / points.shape[0]
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)
+        # NaN/Inf guard: skip the update on bad grads (reference:
+        # src/utils.py:393-399 + train_parsenet_e2e.py:250-252)
+        ok = grad_finite(grads)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+        new_state = state.apply_gradients(grads, lr)
+        metrics["grad_ok"] = ok.astype(jnp.float32)
+        return new_state, metrics
+
+    @jax.jit
+    def eval_step(state: TrainState, points, labels, prim, key):
+        emb, prim_logp = model.apply({"params": state.params}, points)
+        e_loss = triplet_loss(emb, labels, key)
+        p_loss = primitive_nll_loss(prim_logp, prim)
+        return {"embed_loss": e_loss, "prim_loss": p_loss,
+                "miou": mean_iou_per_class(prim, prim_logp)}
+
+    return train_step, eval_step
+
+
+def subsample_batch(rng: np.random.RandomState, arrays, n_keep: int):
+    """Random point subsample (reference: train_parsenet.py:160-169)."""
+    n = arrays[0].shape[1]
+    sel = rng.choice(n, n_keep, replace=False)
+    return [None if a is None else a[:, sel] for a in arrays]
+
+
+def run_training(config: Config, train_gen: Optional[Iterator] = None,
+                 val_gen: Optional[Iterator] = None,
+                 steps_per_epoch: Optional[int] = None, val_steps: int = 4,
+                 points_per_shape: int = 7000, num_accum: int = 3) -> TrainState:
+    """Generators yield (points [B,N,3], labels [B,N], normals, prim)."""
+    from ..data.abc import ABCDataset
+
+    mesh = make_mesh(config.num_devices)
+    if train_gen is None:
+        ds = ABCDataset(config.batch_size * num_accum,
+                        train_size=config.num_train, val_size=config.num_val,
+                        test_size=config.num_test, normals=True,
+                        primitives=True)
+        train_gen = ds.get_train(if_normal_noise=config.mode == 5)
+        val_gen = ds.get_val(if_normal_noise=config.mode == 5,
+                             batch_size=config.batch_size)
+
+    with_normals = config.mode == 5
+    model = PrimitivesEmbedding(emb_size=128, num_primitives=10,
+                                mode=5 if with_normals else 0,
+                                k=config.knn_k)
+    rng = jax.random.PRNGKey(config.seed)
+    cdim = 6 if with_normals else 3
+    sample = jnp.zeros((config.batch_size, 256, cdim))
+    state = create_state(model, rng, (sample,), optimizer=config.optim)
+    state = replicate(mesh, state)
+    train_step, eval_step = make_step_fns(model, num_accum)
+
+    bsh = batch_sharding(mesh)
+    sched = PlateauScheduler(config.lr, patience=config.patience, factor=0.5)
+    ckpt = Checkpointer(f"{config.log_dir}/checkpoints/{config.model_path}")
+    steps_per_epoch = steps_per_epoch or max(
+        config.num_train // (config.batch_size * num_accum), 1)
+    host_rng = np.random.RandomState(config.seed + 1)
+    key = jax.random.PRNGKey(config.seed + 2)
+    best = float("inf")
+    lr = config.lr
+
+    def pack(points, labels, normals, prim, n_keep):
+        n_keep = min(n_keep, points.shape[1])
+        points, labels, normals, prim = subsample_batch(
+            host_rng, [points, labels, normals, prim], n_keep)
+        x = np.concatenate([points, normals], -1) if with_normals else points
+        A, B = num_accum, config.batch_size
+        x = x.reshape(A, B, *x.shape[1:])
+        labels = labels.reshape(A, B, -1)
+        prim = prim.reshape(A, B, -1)
+        return x, labels, prim
+
+    for epoch in range(config.num_epochs):
+        t0 = time.time()
+        agg = []
+        for _ in range(steps_per_epoch):
+            batch = next(train_gen)
+            x, labels, prim = pack(*batch, points_per_shape)
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(
+                state, jax.device_put(x), jax.device_put(labels),
+                jax.device_put(prim), sub, jnp.float32(lr))
+            agg.append(metrics)
+        vals = []
+        for _ in range(val_steps):
+            points, labels, normals, prim = next(val_gen)
+            n_keep = min(points_per_shape, points.shape[1])
+            points, labels, normals, prim = subsample_batch(
+                host_rng, [points, labels, normals, prim], n_keep)
+            xv = (np.concatenate([points, normals], -1)
+                  if with_normals else points)
+            key, sub = jax.random.split(key)
+            m = eval_step(state, jax.device_put(xv), jax.device_put(labels),
+                          jax.device_put(prim), sub)
+            vals.append({k: float(v) for k, v in m.items()})
+        val_emb = float(np.mean([v["embed_loss"] for v in vals]))
+        lr = sched.step(val_emb)
+        tr = {k: float(np.mean([float(m[k]) for m in agg])) for k in agg[0]}
+        log.info("epoch %d embed %.4f prim %.4f miou %.3f | val embed %.4f "
+                 "lr %.2e (%.1fs)", epoch, tr["embed_loss"], tr["prim_loss"],
+                 tr["miou"], val_emb, lr, time.time() - t0)
+        if val_emb < best:
+            best = val_emb
+            ckpt.save(epoch, jax.device_get({"params": state.params}))
+    ckpt.wait()
+    return state
