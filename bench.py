@@ -22,6 +22,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: first-run TPU compiles of the k=80 DGCNN +
+# clustering + fitting graphs are expensive; cache them across invocations
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/jax_tpu_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 NUM_POINTS = 10000
 WARMUP = 2
 ITERS = 8
