@@ -58,12 +58,14 @@ def predict_segmentation(apply_fn: Callable, x: jnp.ndarray,
                          iterations: int = 50,
                          ms_num_samples: int = 5000) -> SegmentationPrediction:
     """One shape. apply_fn(x[None]) -> (embedding [1,N,D], prim_logp [1,N,C])."""
+    from ..ops.pallas_kernels import pallas_available
     emb, prim_logp = apply_fn(x[None])
     emb = emb[0]
     pred_prim = jnp.argmax(prim_logp[0], axis=-1)
     embn = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-12)
     ms = guard_mean_shift(embn, quantile, key=key,
-                          num_samples=ms_num_samples, iterations=iterations)
+                          num_samples=ms_num_samples, iterations=iterations,
+                          use_pallas=pallas_available())
     w = to_one_hot(ms.labels)
     seg_iou, prim_iou = siou_matched_segments(gt_labels, ms.labels,
                                               pred_prim, gt_prim, w)

@@ -122,12 +122,13 @@ def nms(shifted: jnp.ndarray, X: jnp.ndarray, bandwidth: jnp.ndarray):
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "iterations",
                                              "kernel", "max_clusters",
-                                             "max_doublings"))
+                                             "max_doublings", "use_pallas"))
 def guard_mean_shift(X: jnp.ndarray, quantile: float,
                      key: Optional[jax.Array] = None,
                      num_samples: int = 5000, iterations: int = 10,
                      kernel: str = "gaussian", max_clusters: int = 49,
-                     max_doublings: int = 8) -> MeanShiftResult:
+                     max_doublings: int = 8,
+                     use_pallas: bool = False) -> MeanShiftResult:
     """Mean-shift with bandwidth escalation until <= max_clusters clusters
     (reference: src/mean_shift.py:81-96). Bounded while_loop, one compile.
 
@@ -140,9 +141,18 @@ def guard_mean_shift(X: jnp.ndarray, quantile: float,
     sorted_d = lax.stop_gradient(_sorted_subset_sqdist(X, key, num_samples))
     X_ng = lax.stop_gradient(X)
 
+    if use_pallas and kernel == "gaussian":
+        # fused flash-style TPU kernel (forward-only; inference path)
+        from .pallas_kernels import mean_shift_iterations_pallas
+        shift_fn = lambda xx, bw: mean_shift_iterations_pallas(
+            xx, bw, iterations)
+    else:
+        shift_fn = lambda xx, bw: mean_shift_iterations(
+            xx, bw, iterations, kernel)
+
     def attempt(q):
         bw = bandwidth_from_sorted(sorted_d, q)
-        shifted = mean_shift_iterations(X_ng, bw, iterations, kernel)
+        shifted = shift_fn(X_ng, bw)
         _, _, k = nms(shifted, X_ng, bw)
         return k
 
@@ -158,9 +168,13 @@ def guard_mean_shift(X: jnp.ndarray, quantile: float,
     q0 = jnp.asarray(quantile, jnp.float32)
     _, q_acc, _ = lax.while_loop(cond, body, (jnp.int32(0), q0, attempt(q0)))
 
-    # differentiable re-run at the accepted bandwidth
+    # re-run at the accepted bandwidth (differentiable on the XLA path;
+    # the pallas kernel is forward-only and used for inference)
     bw = bandwidth_from_sorted(sorted_d, q_acc)
-    shifted = mean_shift_iterations(X, bw, iterations, kernel)
+    if use_pallas and kernel == "gaussian":
+        shifted = shift_fn(X, bw)
+    else:
+        shifted = mean_shift_iterations(X, bw, iterations, kernel)
     center_mask, labels, k = nms(lax.stop_gradient(shifted), X_ng, bw)
     return MeanShiftResult(shifted, center_mask, labels, bw, k)
 

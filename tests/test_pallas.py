@@ -1,0 +1,47 @@
+"""Pallas kernels vs XLA reference implementations (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parsenet_tpu.ops.mean_shift import mean_shift_iterations
+from parsenet_tpu.ops.pallas_kernels import (mean_shift_iterations_pallas,
+                                             mean_shift_step_pallas)
+
+
+class TestMeanShiftKernel:
+    def test_single_step_matches_xla(self, rng):
+        n, d = 300, 8  # deliberately unaligned: exercises padding/masking
+        x = rng.randn(n, d).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        X = jnp.asarray(x)
+        bw = jnp.float32(0.3)
+        ref = mean_shift_iterations(X, bw, 1)
+        got = mean_shift_step_pallas(X, X, 1.0 / (2 * bw * bw),
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_multi_iteration_matches(self, rng):
+        n, d = 512, 128  # aligned case
+        x = rng.randn(n, d).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        X = jnp.asarray(x)
+        bw = jnp.float32(0.5)
+        ref = mean_shift_iterations(X, bw, 4)
+        got = mean_shift_iterations_pallas(X, bw, 4, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=5e-4, atol=5e-5)
+
+    def test_clusters_form(self, rng):
+        # two tight clusters on the sphere collapse to two centers
+        a = np.tile([1, 0, 0, 0, 0, 0, 0, 0], (40, 1))
+        b = np.tile([0, 1, 0, 0, 0, 0, 0, 0], (40, 1))
+        x = np.concatenate([a, b]).astype(np.float32)
+        x += 0.02 * rng.randn(*x.shape).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        out = mean_shift_iterations_pallas(jnp.asarray(x), jnp.float32(0.2),
+                                           8, interpret=True)
+        out = np.asarray(out)
+        assert np.abs(out[:40] - out[:1]).max() < 1e-3
+        assert np.abs(out[40:] - out[40:41]).max() < 1e-3
+        assert np.abs(out[0] - out[40]).max() > 0.5
