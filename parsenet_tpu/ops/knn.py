@@ -42,31 +42,43 @@ def pairwise_sqdist(q: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return qq - 2.0 * inner + xx.T
 
 
-def _topk_neighbors(neg_dist_chunk: jnp.ndarray, k2: int, stride: int) -> jnp.ndarray:
-    idx = lax.top_k(neg_dist_chunk, k2)[1]
+APPROX_RECALL = 0.99
+
+
+def _topk_neighbors(neg_dist_chunk: jnp.ndarray, k2: int, stride: int,
+                    exact: bool) -> jnp.ndarray:
+    if exact or jax.default_backend() != "tpu":
+        idx = lax.top_k(neg_dist_chunk, k2)[1]
+    else:
+        # TPU-native partial-reduce top-k: ~an order of magnitude faster
+        # than the sort-based exact lowering at n=10k; 0.99 recall on
+        # neighbour sets is inconsequential for EdgeConv aggregation
+        idx = lax.approx_max_k(neg_dist_chunk, k2,
+                               recall_target=APPROX_RECALL)[1]
     if stride > 1:
         idx = idx[..., ::stride]
     return idx
 
 
-def _knn_single(x: jnp.ndarray, k1: int, k2: int, chunk: int) -> jnp.ndarray:
+def _knn_single(x: jnp.ndarray, k1: int, k2: int, chunk: int,
+                exact: bool = False) -> jnp.ndarray:
     """kNN for one shape. x: [N, C] -> idx [N, k1]."""
     n = x.shape[0]
     stride = max(k2 // k1, 1)
     xx = jnp.sum(x * x, axis=-1)
 
     def body(q):  # q: [chunk, C]
-        neg = 2.0 * jnp.dot(q, x.T, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+        neg = 2.0 * jnp.dot(q, x.T, preferred_element_type=jnp.float32)
         neg = neg - jnp.sum(q * q, axis=-1, keepdims=True) - xx[None, :]
-        return _topk_neighbors(neg, k2, stride)
+        return _topk_neighbors(neg, k2, stride, exact)
 
     qs = x.reshape(n // chunk, chunk, x.shape[1])
     idx = lax.map(body, qs)
     return idx.reshape(n, -1)[:, :k1]
 
 
-def _knn_pn_single(x: jnp.ndarray, k1: int, k2: int, chunk: int) -> jnp.ndarray:
+def _knn_pn_single(x: jnp.ndarray, k1: int, k2: int, chunk: int,
+                   exact: bool = False) -> jnp.ndarray:
     """Joint point/normal metric kNN for one shape. x: [N, 6] -> idx [N, k1].
 
     d = d_points * (1 + d_normals) with d_normals = 2 - 2 <n_i, n_j>
@@ -80,37 +92,37 @@ def _knn_pn_single(x: jnp.ndarray, k1: int, k2: int, chunk: int) -> jnp.ndarray:
     def body(args):
         qp, qn = args
         d_p = (jnp.sum(qp * qp, -1, keepdims=True)
-               - 2.0 * jnp.dot(qp, p.T, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+               - 2.0 * jnp.dot(qp, p.T, preferred_element_type=jnp.float32)
                + pp[None, :])
-        d_n = 2.0 - 2.0 * jnp.dot(qn, nrm.T, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-        return _topk_neighbors(-(d_p * (1.0 + d_n)), k2, stride)
+        d_n = 2.0 - 2.0 * jnp.dot(qn, nrm.T, preferred_element_type=jnp.float32)
+        return _topk_neighbors(-(d_p * (1.0 + d_n)), k2, stride, exact)
 
     qs = (p.reshape(n // chunk, chunk, 3), nrm.reshape(n // chunk, chunk, 3))
     idx = lax.map(body, qs)
     return idx.reshape(n, -1)[:, :k1]
 
 
-@functools.partial(jax.jit, static_argnames=("k1", "k2", "chunk"))
-def knn(x: jnp.ndarray, k1: int, k2: Optional[int] = None, chunk: int = 0) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("k1", "k2", "chunk", "exact"))
+def knn(x: jnp.ndarray, k1: int, k2: Optional[int] = None, chunk: int = 0,
+        exact: bool = False) -> jnp.ndarray:
     """Batched kNN indices. x: [B, N, C] -> [B, N, k1] (no gradients flow).
 
     k2 > k1 gives the reference's dilated selection (stride = k2 // k1).
+    exact=True forces the exact sort-based top-k (CPU always exact).
     """
     k2 = k2 or k1
     c = chunk or _row_chunks(x.shape[1])
-    idx = jax.vmap(lambda xb: _knn_single(xb, k1, k2, c))(x)
+    idx = jax.vmap(lambda xb: _knn_single(xb, k1, k2, c, exact))(x)
     return lax.stop_gradient(idx)
 
 
-@functools.partial(jax.jit, static_argnames=("k1", "k2", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k1", "k2", "chunk", "exact"))
 def knn_points_normals(x: jnp.ndarray, k1: int, k2: Optional[int] = None,
-                       chunk: int = 0) -> jnp.ndarray:
+                       chunk: int = 0, exact: bool = False) -> jnp.ndarray:
     """Batched joint point/normal kNN. x: [B, N, 6] -> [B, N, k1]."""
     k2 = k2 or k1
     c = chunk or _row_chunks(x.shape[1])
-    idx = jax.vmap(lambda xb: _knn_pn_single(xb, k1, k2, c))(x)
+    idx = jax.vmap(lambda xb: _knn_pn_single(xb, k1, k2, c, exact))(x)
     return lax.stop_gradient(idx)
 
 
