@@ -30,8 +30,9 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 NUM_POINTS = 10000
-WARMUP = 2
-ITERS = 8
+BATCH = 1   # batching measured slightly worse (vmapped NMS memory pressure)
+WARMUP = 2  # batches
+ITERS = 8   # batches (BATCH * ITERS shapes timed)
 
 
 def main():
@@ -50,39 +51,57 @@ def main():
     spline_fit = build_spline_fit(grid=20)
 
     host = np.random.RandomState(0)
-    pts, labels, normals, prim = make_shape_batch(host, WARMUP + ITERS,
-                                                  NUM_POINTS)
+    n_shapes = (WARMUP + ITERS) * BATCH
+    pts, labels, normals, prim = make_shape_batch(host, n_shapes, NUM_POINTS)
     xs = np.concatenate([pts, normals], -1).astype(np.float32)
 
     key = jax.random.PRNGKey(1)
 
-    def one_shape(i, key):
+    # ONE jit program for a BATCH of shapes: the tunneled TPU runtime has
+    # high per-dispatch latency and small ops underfill the chip, so the
+    # whole per-shape pipeline is vmapped over shapes and fused
+    def shape_pipeline(x, p, n, lab, pr, key):
         k1, k2 = jax.random.split(key)
-        pred = predict_segmentation(apply_fn, jnp.asarray(xs[i]),
-                                    jnp.asarray(labels[i]),
-                                    jnp.asarray(prim[i]), k1)
-        rec = reconstruct_shape(jnp.asarray(pts[i]), jnp.asarray(normals[i]),
-                                pred.labels, pred.pred_prim, k2,
+        pred = predict_segmentation(apply_fn, x, lab, pr, k1)
+        rec = reconstruct_shape(p, n, pred.labels, pred.pred_prim, k2,
                                 spline_fit=spline_fit)
         return pred, rec
 
+    if BATCH == 1:
+        fused = jax.jit(shape_pipeline)
+
+        def one_batch(b, key):
+            return fused(jnp.asarray(xs[b]), jnp.asarray(pts[b]),
+                         jnp.asarray(normals[b]), jnp.asarray(labels[b]),
+                         jnp.asarray(prim[b]), key)
+    else:
+        batched = jax.jit(jax.vmap(shape_pipeline,
+                                   in_axes=(0, 0, 0, 0, 0, 0)))
+
+        def one_batch(b, key):
+            s = slice(b * BATCH, (b + 1) * BATCH)
+            keys = jax.random.split(key, BATCH)
+            return batched(jnp.asarray(xs[s]), jnp.asarray(pts[s]),
+                           jnp.asarray(normals[s]), jnp.asarray(labels[s]),
+                           jnp.asarray(prim[s]), keys)
+
     # warmup/compile
-    for i in range(WARMUP):
+    for b in range(WARMUP):
         key, sub = jax.random.split(key)
-        pred, rec = one_shape(i, sub)
-        jax.block_until_ready((pred, rec))
+        out = one_batch(b, sub)
+        jax.block_until_ready(out)
 
     t0 = time.perf_counter()
-    for i in range(WARMUP, WARMUP + ITERS):
+    for b in range(WARMUP, WARMUP + ITERS):
         key, sub = jax.random.split(key)
-        pred, rec = one_shape(i, sub)
-        # block every iteration: the experimental axon runtime does not
-        # guarantee in-order completion visibility, so blocking only on the
-        # last output under-reports wildly
-        jax.block_until_ready((pred, rec))
+        pred, rec = one_batch(b, sub)
+        # sync via host fetch every iteration: the experimental axon runtime
+        # under-reports wildly with a single trailing block_until_ready, and
+        # block_until_ready on some buffers returns prematurely
+        float(jnp.sum(rec.residual)) + float(jnp.sum(pred.seg_iou))
     dt = time.perf_counter() - t0
 
-    shapes_per_sec = ITERS / dt
+    shapes_per_sec = ITERS * BATCH / dt
     shapes_per_hour = shapes_per_sec * 3600.0
     # north star: 10,000 shapes/hour on a v5e-8 => 1,250 per chip; this bench
     # runs on n_dev real chips, so compare per-chip rate to per-chip target
@@ -93,11 +112,12 @@ def main():
         "unit": "shapes/hour",
         "vs_baseline": round((shapes_per_hour / n_dev) / per_chip_target, 4),
         "detail": {
-            "per_shape_ms": round(1000.0 * dt / ITERS, 2),
+            "per_shape_ms": round(1000.0 * dt / (ITERS * BATCH), 2),
+            "batch": BATCH,
             "devices": n_dev,
             "num_points": NUM_POINTS,
-            "residual": float(rec.residual),
-            "seg_iou": float(pred.seg_iou),
+            "residual": float(jnp.mean(rec.residual)),
+            "seg_iou": float(jnp.mean(pred.seg_iou)),
         },
     }
     print(json.dumps(out))

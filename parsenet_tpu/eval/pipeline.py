@@ -52,6 +52,9 @@ class SegmentationPrediction(NamedTuple):
     num_clusters: jnp.ndarray
 
 
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("quantile", "iterations",
+                                    "ms_num_samples"))
 def predict_segmentation(apply_fn: Callable, x: jnp.ndarray,
                          gt_labels: jnp.ndarray, gt_prim: jnp.ndarray,
                          key: jax.Array, quantile: float = 0.015,

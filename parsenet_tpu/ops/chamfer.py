@@ -44,9 +44,17 @@ def _min_sqdist_single(q, x, x_mask, chunk):
 
 def min_sqdist(q: jnp.ndarray, x: jnp.ndarray,
                x_mask: Optional[jnp.ndarray] = None, chunk: int = 0) -> jnp.ndarray:
-    """Batched per-point min squared distance. q:[B,N,3], x:[B,M,3] -> [B,N]."""
+    """Batched per-point min squared distance. q:[B,N,3], x:[B,M,3] -> [B,N].
+
+    On TPU with 3-d points this dispatches to the fused Pallas kernel (tile
+    min in VMEM, no [N, M] matrix in HBM, differentiable via an argmin
+    subgradient); elsewhere the chunked XLA fallback.
+    """
     if x_mask is None:
         x_mask = jnp.ones(x.shape[:2], dtype=q.dtype)
+    if q.shape[-1] == 3 and jax.default_backend() == "tpu":
+        from .pallas_kernels import min_sqdist_fused
+        return jax.vmap(lambda a, b, m: min_sqdist_fused(a, b, m))(q, x, x_mask)
     c = chunk or _chunks(q.shape[1])
     return jax.vmap(lambda a, b, m: _min_sqdist_single(a, b, m, c))(q, x, x_mask)
 

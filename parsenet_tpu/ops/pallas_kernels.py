@@ -27,11 +27,13 @@ COL_TILE = 512
 def _ms_step_kernel(scalar_ref, m_ref, x_ref, out_ref):
     """One mean-shift update for a ROW_TILE block of shifted points.
 
-    scalar_ref (SMEM [2]): [inv2b2, n_valid]; m_ref [ROW_TILE, D];
+    scalar_ref (VMEM [1, 128]): [inv2b2, n_valid, ...pad] — kept in VMEM
+    rather than SMEM so jax.vmap's pallas batching rule (which prepends a
+    batch dimension to every block) stays legal; m_ref [ROW_TILE, D];
     x_ref [N_pad, D] (full cloud in VMEM); out_ref [ROW_TILE, D].
     """
-    inv2b2 = scalar_ref[0]
-    n_valid = scalar_ref[1].astype(jnp.int32)
+    inv2b2 = scalar_ref[0, 0]
+    n_valid = scalar_ref[0, 1].astype(jnp.int32)
     m = m_ref[:]
     tm, d = m.shape
     n_pad = x_ref.shape[0]
@@ -74,14 +76,16 @@ def mean_shift_step_pallas(m: jnp.ndarray, x: jnp.ndarray,
     d_pad = max(d, 128)
     m_p = _pad_to(_pad_to(m, ROW_TILE, 0), d_pad, 1)
     x_p = _pad_to(_pad_to(x, COL_TILE, 0), d_pad, 1)
-    scalars = jnp.stack([jnp.asarray(inv2b2, jnp.float32),
-                         jnp.asarray(n, jnp.float32)])
+    scalars = jnp.zeros((1, 128), jnp.float32)
+    scalars = scalars.at[0, 0].set(jnp.asarray(inv2b2, jnp.float32))
+    scalars = scalars.at[0, 1].set(jnp.float32(n))
     n_rows = m_p.shape[0]
     out = pl.pallas_call(
         _ms_step_kernel,
         grid=(n_rows // ROW_TILE,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((ROW_TILE, m_p.shape[1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((x_p.shape[0], x_p.shape[1]), lambda i: (0, 0),
@@ -115,3 +119,109 @@ def mean_shift_iterations_pallas(X: jnp.ndarray, bandwidth: jnp.ndarray,
 
 def pallas_available() -> bool:
     return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Fused min-squared-distance (the chamfer core).
+#
+# The XLA path materializes [chunk, M] distance matrices in HBM (at eval, M
+# is 200k+ surface samples -> gigabytes of traffic); this kernel keeps each
+# [TQ, TX] distance tile in VMEM and folds it straight into a running min.
+# C=3 coordinates are expanded with VPU broadcasts — exact f32, no MXU
+# precision compromise.
+# ---------------------------------------------------------------------------
+
+Q_TILE = 256
+X_TILE = 1024
+_BIG = 1e30
+
+
+def _min_sqdist_kernel(q_ref, xt_ref, mask_ref, out_ref, idx_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.full_like(out_ref, _BIG)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    d = jnp.zeros((q_ref.shape[0], xt_ref.shape[1]), jnp.float32)
+    for c in range(3):
+        qc = q_ref[:, c][:, None]        # [TQ, 1]
+        xc = xt_ref[c, :][None, :]       # [1, TX]
+        diff = qc - xc
+        d = d + diff * diff
+    d = d + mask_ref[0, :][None, :]      # +BIG on padded/masked targets
+    tile_min = jnp.min(d, axis=1, keepdims=True)
+    tile_idx = (j * d.shape[1]
+                + jnp.argmin(d, axis=1)[:, None]).astype(jnp.int32)
+    better = tile_min < out_ref[:]
+    idx_ref[:] = jnp.where(better, tile_idx, idx_ref[:])
+    out_ref[:] = jnp.where(better, tile_min, out_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def min_sqdist_with_idx_pallas(q: jnp.ndarray, x: jnp.ndarray,
+                               x_mask: jnp.ndarray | None = None,
+                               interpret: bool = False):
+    """Per-query (min squared distance, argmin index). q: [N,3], x: [M,3]."""
+    n, m = q.shape[0], x.shape[0]
+    q_p = _pad_to(q, Q_TILE, 0)
+    x_p = _pad_to(x, X_TILE, 0)
+    mask = jnp.zeros((m,), jnp.float32) if x_mask is None else \
+        jnp.where(x_mask > 0, 0.0, _BIG).astype(jnp.float32)
+    mask = jnp.pad(mask, (0, x_p.shape[0] - m), constant_values=_BIG)
+    out, idx = pl.pallas_call(
+        _min_sqdist_kernel,
+        grid=(q_p.shape[0] // Q_TILE, x_p.shape[0] // X_TILE),
+        in_specs=[
+            pl.BlockSpec((Q_TILE, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, X_TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, X_TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((Q_TILE, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q_TILE, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q_p.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((q_p.shape[0], 1), jnp.int32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=9 * q_p.shape[0] * x_p.shape[0],
+            bytes_accessed=(q_p.shape[0] + 2 * x_p.shape[0]) * 12,
+            transcendentals=0,
+        ),
+    )(q_p, x_p.T, mask[None, :])
+    return out[:n, 0], jnp.clip(idx[:n, 0], 0, m - 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def min_sqdist_fused(q, x, x_mask=None, interpret: bool = False):
+    """Differentiable fused min squared distance [N]: pallas forward with a
+    subgradient VJP through the argmin (the same gradient the XLA min gives
+    almost everywhere)."""
+    d, _ = min_sqdist_with_idx_pallas(q, x, x_mask, interpret=interpret)
+    return d
+
+
+def _msf_fwd(q, x, x_mask, interpret):
+    d, idx = min_sqdist_with_idx_pallas(q, x, x_mask, interpret=interpret)
+    return d, (q, x, idx)
+
+
+def _msf_bwd(interpret, res, g):
+    q, x, idx = res
+    xa = x[idx]                      # [N, 3] nearest target per query
+    diff = 2.0 * (q - xa) * g[:, None]
+    dq = diff
+    dx = jnp.zeros_like(x).at[idx].add(-diff)
+    return dq, dx, None
+
+
+min_sqdist_fused.defvjp(_msf_fwd, _msf_bwd)

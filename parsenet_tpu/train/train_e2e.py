@@ -120,7 +120,8 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
     rng = jax.random.PRNGKey(config.seed)
     cdim = 6 if with_normals else 3
     sample = jnp.zeros((config.batch_size, 256, cdim))
-    state = create_state(model, rng, (sample,), optimizer=config.optim)
+    state = create_state(model, rng, (sample,), optimizer=config.optim,
+                         weight_decay=config.weight_decay)
     if pretrained_params is not None:
         state = state.replace(params=pretrained_params)
     state = replicate(mesh, state)

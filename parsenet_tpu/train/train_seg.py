@@ -92,10 +92,12 @@ def subsample_batch(rng: np.random.RandomState, arrays, n_keep: int):
 def run_training(config: Config, train_gen: Optional[Iterator] = None,
                  val_gen: Optional[Iterator] = None,
                  steps_per_epoch: Optional[int] = None, val_steps: int = 4,
-                 points_per_shape: int = 7000, num_accum: int = 3) -> TrainState:
+                 points_per_shape: int = 7000,
+                 num_accum: Optional[int] = None) -> TrainState:
     """Generators yield (points [B,N,3], labels [B,N], normals, prim)."""
     from ..data.abc import ABCDataset
 
+    num_accum = num_accum or max(config.accum, 1)
     mesh = make_mesh(config.num_devices)
     if train_gen is None:
         ds = ABCDataset(config.batch_size * num_accum,
@@ -113,7 +115,8 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
     rng = jax.random.PRNGKey(config.seed)
     cdim = 6 if with_normals else 3
     sample = jnp.zeros((config.batch_size, 256, cdim))
-    state = create_state(model, rng, (sample,), optimizer=config.optim)
+    state = create_state(model, rng, (sample,), optimizer=config.optim,
+                         weight_decay=config.weight_decay)
     state = replicate(mesh, state)
     train_step, eval_step = make_step_fns(model, num_accum)
 

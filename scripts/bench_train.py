@@ -1,0 +1,100 @@
+"""Training-step throughput on the real chip.
+
+Times the segmentation train step (triplet + NLL, grad accumulation) and the
+full e2e step (network -> mean-shift -> matching -> fits -> spline decoders
+-> residual -> grads) at reference scales. Prints one JSON line per bench.
+
+Usage: python scripts/bench_train.py [seg|e2e|all]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/jax_tpu_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def bench_seg(batch=2, n_points=7000, accum=3, steps=5):
+    from parsenet_tpu.data.synthetic import make_shape_batch
+    from parsenet_tpu.models.dgcnn import PrimitivesEmbedding
+    from parsenet_tpu.train.state import create_state
+    from parsenet_tpu.train.train_seg import make_step_fns
+
+    model = PrimitivesEmbedding(emb_size=128, num_primitives=10, mode=5, k=80)
+    state = create_state(model, jax.random.PRNGKey(0),
+                         (jnp.zeros((batch, n_points, 6)),))
+    train_step, _ = make_step_fns(model)
+    host = np.random.RandomState(0)
+    pts, labels, normals, prim = make_shape_batch(host, batch * accum, n_points)
+    x = np.concatenate([pts, normals], -1).astype(np.float32)
+    xb = jnp.asarray(x.reshape(accum, batch, n_points, 6))
+    lb = jnp.asarray(labels.reshape(accum, batch, -1))
+    pb = jnp.asarray(prim.reshape(accum, batch, -1))
+    # compile; sync via host fetch — block_until_ready on donated buffers
+    # reports ready prematurely on the tunneled runtime
+    state, m = train_step(state, xb, lb, pb, jax.random.PRNGKey(1),
+                          jnp.float32(0.01))
+    float(m["embed_loss"])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = train_step(state, xb, lb, pb, jax.random.PRNGKey(i),
+                              jnp.float32(0.01))
+        float(m["embed_loss"])
+    dt = (time.perf_counter() - t0) / steps
+    shapes_s = batch * accum / dt
+    print(json.dumps({"metric": "seg_train_shapes_per_sec",
+                      "value": round(shapes_s, 2), "unit": "shapes/s",
+                      "detail": {"step_ms": round(dt * 1e3, 1),
+                                 "batch": batch, "accum": accum,
+                                 "points": n_points,
+                                 "embed_loss": float(m["embed_loss"])}}))
+
+
+def bench_e2e(batch=1, n_points=8000, steps=3):
+    from parsenet_tpu.data.synthetic import make_shape_batch
+    from parsenet_tpu.models.dgcnn import PrimitivesEmbedding
+    from parsenet_tpu.train.state import create_state
+    from parsenet_tpu.train.train_e2e import build_spline_fit, make_e2e_step
+
+    model = PrimitivesEmbedding(emb_size=128, num_primitives=10, mode=5, k=80)
+    state = create_state(model, jax.random.PRNGKey(0),
+                         (jnp.zeros((batch, n_points, 6)),))
+    spline_fit = build_spline_fit(grid=20)
+    train_step, _ = make_e2e_step(model, spline_fit, iterations=5,
+                                  ms_num_samples=5000)
+    host = np.random.RandomState(0)
+    pts, labels, normals, prim = make_shape_batch(host, batch, n_points)
+    x = jnp.asarray(np.concatenate([pts, normals], -1).astype(np.float32))
+    lb, pb = jnp.asarray(labels), jnp.asarray(prim)
+    state, m = train_step(state, x, lb, pb, jax.random.PRNGKey(1),
+                          jnp.float32(1e-4))
+    float(m["res_loss"])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = train_step(state, x, lb, pb, jax.random.PRNGKey(i),
+                              jnp.float32(1e-4))
+        float(m["res_loss"])
+    dt = (time.perf_counter() - t0) / steps
+    print(json.dumps({"metric": "e2e_train_shapes_per_sec",
+                      "value": round(batch / dt, 3), "unit": "shapes/s",
+                      "detail": {"step_ms": round(dt * 1e3, 1),
+                                 "batch": batch, "points": n_points,
+                                 "res_loss": float(m["res_loss"]),
+                                 "grad_ok": float(m["grad_ok"])}}))
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("seg", "all"):
+        bench_seg()
+    if which in ("e2e", "all"):
+        bench_e2e()

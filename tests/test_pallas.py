@@ -45,3 +45,47 @@ class TestMeanShiftKernel:
         assert np.abs(out[:40] - out[:1]).max() < 1e-3
         assert np.abs(out[40:] - out[40:41]).max() < 1e-3
         assert np.abs(out[0] - out[40]).max() > 0.5
+
+
+class TestMinSqdistKernel:
+    def test_matches_xla(self, rng):
+        from parsenet_tpu.ops.chamfer import min_sqdist
+        from parsenet_tpu.ops.pallas_kernels import min_sqdist_with_idx_pallas
+        q = rng.randn(300, 3).astype(np.float32)   # unaligned sizes
+        x = rng.randn(1500, 3).astype(np.float32)
+        ref = np.asarray(min_sqdist(jnp.asarray(q)[None], jnp.asarray(x)[None]))[0]
+        got, idx = min_sqdist_with_idx_pallas(jnp.asarray(q), jnp.asarray(x),
+                                              interpret=True)
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-6)
+        # idx really is the argmin
+        d = ((q[:, None] - x[None]) ** 2).sum(-1)
+        np.testing.assert_allclose(d[np.arange(300), np.asarray(idx)],
+                                   ref, rtol=1e-5, atol=1e-6)
+
+    def test_mask(self, rng):
+        from parsenet_tpu.ops.pallas_kernels import min_sqdist_with_idx_pallas
+        q = rng.randn(64, 3).astype(np.float32)
+        x = np.concatenate([q + 100, q]).astype(np.float32)  # near copies masked off
+        mask = np.concatenate([np.ones(64), np.zeros(64)]).astype(np.float32)
+        got, idx = min_sqdist_with_idx_pallas(jnp.asarray(q), jnp.asarray(x),
+                                              jnp.asarray(mask), interpret=True)
+        assert np.asarray(got).min() > 100  # forced to the far (unmasked) half
+
+    def test_gradient_matches_xla(self, rng):
+        from parsenet_tpu.ops.pallas_kernels import min_sqdist_fused
+        q = jnp.asarray(rng.randn(40, 3).astype(np.float32))
+        x = jnp.asarray(rng.randn(90, 3).astype(np.float32))
+
+        def f_pallas(q, x):
+            return jnp.sum(min_sqdist_fused(q, x, None, True))
+
+        def f_xla(q, x):
+            d = ((q[:, None] - x[None]) ** 2).sum(-1)
+            return jnp.sum(jnp.min(d, axis=1))
+
+        gq_p, gx_p = jax.grad(f_pallas, argnums=(0, 1))(q, x)
+        gq_x, gx_x = jax.grad(f_xla, argnums=(0, 1))(q, x)
+        np.testing.assert_allclose(np.asarray(gq_p), np.asarray(gq_x),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x),
+                                   rtol=1e-4, atol=1e-5)
