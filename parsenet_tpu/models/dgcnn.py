@@ -21,7 +21,7 @@ TPU-first differences from the reference:
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -29,24 +29,35 @@ import jax.numpy as jnp
 
 from ..ops import knn as knn_ops
 
+Dtype = Any
+
 
 class EdgeConv(nn.Module):
-    """One EdgeConv block: max_j LReLU(GN(W [x_j - x_i; x_i]))."""
+    """One EdgeConv block: max_j LReLU(GN(W [x_j - x_i; x_i])).
+
+    `dtype` controls the compute/activation dtype (bf16 halves the gather
+    traffic and MXU time; GroupNorm statistics stay f32); params are f32.
+    """
     features: int
     groups: int
     negative_slope: float = 0.2
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         # x: [B, N, C], idx: [B, N, k] -> [B, N, features]
-        w_d = nn.Dense(self.features, use_bias=False, name="w_diff")
-        w_x = nn.Dense(self.features, use_bias=False, name="w_center")
+        x = x.astype(self.dtype)
+        w_d = nn.Dense(self.features, use_bias=False, name="w_diff",
+                       dtype=self.dtype)
+        w_x = nn.Dense(self.features, use_bias=False, name="w_center",
+                       dtype=self.dtype)
         yd = w_d(x)                       # W_d x  (for gathering as x_j term)
         yx = w_x(x) - yd                  # (W_x - W_d) x_i
         edge = knn_ops.gather_neighbors(yd, idx) + yx[:, :, None, :]
-        edge = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(edge)
+        edge = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                            dtype=jnp.float32)(edge)
         edge = nn.leaky_relu(edge, self.negative_slope)
-        return jnp.max(edge, axis=2)
+        return jnp.max(edge, axis=2).astype(self.dtype)
 
 
 class DGCNNEncoder(nn.Module):
@@ -57,6 +68,7 @@ class DGCNNEncoder(nn.Module):
     """
     mode: int = 0
     k: int = 80
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -65,18 +77,19 @@ class DGCNNEncoder(nn.Module):
             idx = knn_ops.knn_points_normals(x, k1=self.k, k2=self.k)
         else:
             idx = knn_ops.knn(x, k1=self.k, k2=self.k)
-        x1 = EdgeConv(64, groups=2, name="conv1")(x, idx)
+        x1 = EdgeConv(64, groups=2, name="conv1", dtype=self.dtype)(x, idx)
 
         idx = knn_ops.knn(x1, k1=self.k, k2=self.k)
-        x2 = EdgeConv(64, groups=2, name="conv2")(x1, idx)
+        x2 = EdgeConv(64, groups=2, name="conv2", dtype=self.dtype)(x1, idx)
 
         idx = knn_ops.knn(x2, k1=self.k, k2=self.k)
-        x3 = EdgeConv(128, groups=2, name="conv3")(x2, idx)
+        x3 = EdgeConv(128, groups=2, name="conv3", dtype=self.dtype)(x2, idx)
 
         feats = jnp.concatenate([x1, x2, x3], axis=-1)  # [B, N, 256]
-        h = nn.Dense(1024, name="mlp1")(feats)
-        h = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="bnmlp1")(h)
-        h = nn.relu(h)
+        h = nn.Dense(1024, name="mlp1", dtype=self.dtype)(feats)
+        h = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="bnmlp1",
+                         dtype=jnp.float32)(h)
+        h = nn.relu(h).astype(self.dtype)
         global_feat = jnp.max(h, axis=1)  # [B, 1024]
         return global_feat, feats
 
@@ -95,31 +108,40 @@ class PrimitivesEmbedding(nn.Module):
     k: int = 80
     with_embedding: bool = True
     with_primitives: bool = True
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, points: jnp.ndarray):
         B, N = points.shape[0], points.shape[1]
+        dt = self.dtype
         global_feat, skip = DGCNNEncoder(mode=self.mode, k=self.k,
-                                         name="encoder")(points)
+                                         name="encoder", dtype=dt)(points)
         h = jnp.concatenate(
             [jnp.broadcast_to(global_feat[:, None, :], (B, N, 1024)), skip],
             axis=-1)
-        h = nn.Dense(512, name="conv1")(h)
-        h = nn.relu(nn.GroupNorm(num_groups=8, epsilon=1e-5, name="bn1")(h))
-        h_all = nn.Dense(256, name="conv2")(h)
-        h_all = nn.relu(nn.GroupNorm(num_groups=4, epsilon=1e-5, name="bn2")(h_all))
+        h = nn.Dense(512, name="conv1", dtype=dt)(h)
+        h = nn.relu(nn.GroupNorm(num_groups=8, epsilon=1e-5, name="bn1",
+                                 dtype=jnp.float32)(h)).astype(dt)
+        h_all = nn.Dense(256, name="conv2", dtype=dt)(h)
+        h_all = nn.relu(nn.GroupNorm(num_groups=4, epsilon=1e-5, name="bn2",
+                                     dtype=jnp.float32)(h_all)).astype(dt)
 
         embedding = None
         prim_log_prob = None
         if self.with_embedding:
-            e = nn.Dense(256, name="mlp_seg_prob1")(h_all)
+            e = nn.Dense(256, name="mlp_seg_prob1", dtype=dt)(h_all)
             e = nn.relu(nn.GroupNorm(num_groups=4, epsilon=1e-5,
-                                     name="bn_seg_prob1")(e))
-            embedding = nn.Dense(self.emb_size, name="mlp_seg_prob2")(e)
+                                     name="bn_seg_prob1",
+                                     dtype=jnp.float32)(e)).astype(dt)
+            embedding = nn.Dense(self.emb_size, name="mlp_seg_prob2",
+                                 dtype=dt)(e).astype(jnp.float32)
         if self.with_primitives:
-            p = nn.Dense(256, name="mlp_prim_prob1")(h_all)
+            p = nn.Dense(256, name="mlp_prim_prob1", dtype=dt)(h_all)
             p = nn.relu(nn.GroupNorm(num_groups=4, epsilon=1e-5,
-                                     name="bn_prim_prob1")(p))
-            p = nn.Dense(self.num_primitives, name="mlp_prim_prob2")(p)
-            prim_log_prob = jax.nn.log_softmax(p, axis=-1)
+                                     name="bn_prim_prob1",
+                                     dtype=jnp.float32)(p)).astype(dt)
+            p = nn.Dense(self.num_primitives, name="mlp_prim_prob2",
+                         dtype=dt)(p)
+            prim_log_prob = jax.nn.log_softmax(
+                p.astype(jnp.float32), axis=-1)
         return embedding, prim_log_prob

@@ -117,12 +117,22 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
     sample = jnp.zeros((config.batch_size, 256, cdim))
     state = create_state(model, rng, (sample,), optimizer=config.optim,
                          weight_decay=config.weight_decay)
+    ckpt = Checkpointer(f"{config.log_dir}/checkpoints/{config.model_path}")
+    if config.preload_model and ckpt.latest_step() is not None:
+        # resume training: restore params + optimizer state + step
+        # (reference: train_parsenet_e2e.py:82-84,119-121 loads both)
+        restored = ckpt.restore({"params": state.params,
+                                 "opt_state": state.opt_state,
+                                 "step": state.step})
+        state = state.replace(params=restored["params"],
+                              opt_state=restored["opt_state"],
+                              step=restored["step"])
+        log.info("resumed from step %d", int(state.step))
     state = replicate(mesh, state)
     train_step, eval_step = make_step_fns(model, num_accum)
 
     bsh = batch_sharding(mesh)
     sched = PlateauScheduler(config.lr, patience=config.patience, factor=0.5)
-    ckpt = Checkpointer(f"{config.log_dir}/checkpoints/{config.model_path}")
     steps_per_epoch = steps_per_epoch or max(
         config.num_train // (config.batch_size * num_accum), 1)
     host_rng = np.random.RandomState(config.seed + 1)
@@ -172,6 +182,8 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
                  tr["miou"], val_emb, lr, time.time() - t0)
         if val_emb < best:
             best = val_emb
-            ckpt.save(epoch, jax.device_get({"params": state.params}))
+            ckpt.save(epoch, jax.device_get(
+                {"params": state.params, "opt_state": state.opt_state,
+                 "step": state.step}))
     ckpt.wait()
     return state
