@@ -34,12 +34,41 @@ from .state import TrainState, create_state, grad_finite
 log = logging.getLogger(__name__)
 
 
+def load_splinenet_variables(log_dir: str, model_path: str, grid: int = 20,
+                             closed: bool = False):
+    """Restore trained SplineNet variables from a checkpoint directory
+    (equivalent of the reference's frozen logs/pretrained_models/
+    {open,closed}_spline.pth loads, residual_utils.py:50-66). Returns None
+    when no checkpoint exists."""
+    from ..core.checkpoint import Checkpointer
+    model = SplineNet(grid=grid, k=10, mode=1 if closed else 0)
+    target = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 3)),
+                        train=False)
+    ckpt = Checkpointer(f"{log_dir}/checkpoints/{model_path}")
+    if ckpt.latest_step() is None:
+        return None
+    return ckpt.restore({"params": target["params"],
+                         "batch_stats": target["batch_stats"]})
+
+
 def build_spline_fit(grid: int = 20, sample_grid: int = 30,
-                     open_vars=None, closed_vars=None, rng=None):
-    """Create the frozen spline-fit closure; initializes random decoders when
-    no pretrained variables are given (smoke tests)."""
+                     open_vars=None, closed_vars=None, rng=None,
+                     log_dir: Optional[str] = None):
+    """Create the frozen spline-fit closure.
+
+    Pretrained variables are loaded from `{log_dir}/checkpoints/
+    {open,closed}_splinenet` when available; otherwise randomly initialized
+    decoders are used (smoke tests / benches) with a warning."""
     open_model = SplineNet(grid=grid, k=10, mode=0)
     closed_model = SplineNet(grid=grid, k=10, mode=1)
+    if open_vars is None and log_dir is not None:
+        open_vars = load_splinenet_variables(log_dir, "open_splinenet", grid)
+        closed_vars = load_splinenet_variables(log_dir, "closed_splinenet",
+                                               grid, closed=True)
+        if open_vars is None or closed_vars is None:
+            log.warning("no pretrained SplineNet checkpoints under %s; "
+                        "falling back to random decoders", log_dir)
+            open_vars = closed_vars = None
     if open_vars is None:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         dummy = jnp.zeros((1, 128, 3))
@@ -122,12 +151,24 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
     sample = jnp.zeros((config.batch_size, 256, cdim))
     state = create_state(model, rng, (sample,), optimizer=config.optim,
                          weight_decay=config.weight_decay)
+    if pretrained_params is None and config.pretrain_model_path:
+        # fine-tune from the pretrained segmentation checkpoint
+        # (reference: train_parsenet_e2e.py:82-84)
+        from ..core.checkpoint import Checkpointer
+        pc = Checkpointer(
+            f"{config.log_dir}/checkpoints/{config.pretrain_model_path}")
+        if pc.latest_step() is not None:
+            restored = pc.restore({"params": state.params})
+            pretrained_params = restored["params"]
+            log.info("loaded pretrained segmentation params from %s",
+                     config.pretrain_model_path)
     if pretrained_params is not None:
         state = state.replace(params=pretrained_params)
     state = replicate(mesh, state)
 
     spline_fit = build_spline_fit(config.grid_size, open_vars=open_vars,
-                                  closed_vars=closed_vars)
+                                  closed_vars=closed_vars,
+                                  log_dir=config.log_dir)
     train_step, _ = make_e2e_step(model, spline_fit, lamb=lamb,
                                   with_normals=with_normals)
     ckpt = Checkpointer(f"{config.log_dir}/checkpoints/{config.model_path}")

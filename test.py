@@ -30,7 +30,7 @@ def main():
     with h5py.File("logs/predictions.h5", "r") as hf:
         seg_ids = np.array(hf.get("seg_id"))
         pred_prims = np.array(hf.get("pred_primitives"))
-    spline_fit = build_spline_fit(cfg.grid_size)
+    spline_fit = build_spline_fit(cfg.grid_size, log_dir=cfg.log_dir)
     key = jax.random.PRNGKey(cfg.seed)
     res, cov, sk1, sk2 = [], [], [], []
     for i, (points, labels, normals, prim) in enumerate(ds.get_test()):
