@@ -86,3 +86,24 @@ def compute_stats(shapes, max_surfaces: Optional[int] = None,
             for s in surfs]
         kept.append(slim)
     return kept
+
+
+def iou_from_embeddings(embedding, gt_labels, quantile: float = 0.015,
+                        iterations: int = 30, key=None):
+    """Cluster an embedding with mean-shift and report the matched segment
+    IoU (reference: src/test_utils.py:36-60 IOU_from_embeddings)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.mean_shift import guard_mean_shift
+    from ..ops.segmentation import siou_matched_segments, to_one_hot
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    emb = jnp.asarray(embedding)
+    emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-12)
+    ms = guard_mean_shift(emb, quantile, key=key, iterations=iterations)
+    gt = jnp.asarray(gt_labels)
+    dummy_prim = jnp.zeros_like(gt)
+    s_iou, _ = siou_matched_segments(gt, ms.labels, dummy_prim, dummy_prim,
+                                     to_one_hot(ms.labels))
+    return float(s_iou), np.asarray(ms.labels)

@@ -114,3 +114,31 @@ def cluster(embedding, k: int, method: str = "kmeans", key=None,
                                            keepdims=True) + 1e-12)
         return guard_mean_shift(emb, quantile, key=key, iterations=30).labels
     raise ValueError(method)
+
+
+def cluster_prob_softmax(embedding, centers):
+    """Softmax membership over centers (reference: segment_utils.py:39-50).
+    embedding [N, D], centers [C, D] -> [N, C]."""
+    dots = jnp.dot(embedding, centers.T, preferred_element_type=jnp.float32)
+    return jax.nn.softmax(dots, axis=1)
+
+
+def cluster_prob_gaussian(embedding, centers, band_width):
+    """Gaussian kernel membership (reference: segment_utils.py:52-61).
+    Returns [C, N]."""
+    dist = 2.0 - 2.0 * jnp.dot(centers, embedding.T,
+                               preferred_element_type=jnp.float32)
+    return (jnp.exp(-dist / 2.0 / band_width)
+            / jnp.sqrt(2.0 * jnp.pi * band_width))
+
+
+def cluster_prob_mutual(embedding, centers, bandwidth, if_normalize=False):
+    """Temperature-softmax membership over centers, optionally min-max
+    normalized per center (reference: segment_utils.py:64-76). Returns [C, N]."""
+    dist = jnp.exp(jnp.dot(centers, embedding.T,
+                           preferred_element_type=jnp.float32) / bandwidth)
+    prob = dist / jnp.sum(dist, axis=0, keepdims=True)
+    if if_normalize:
+        prob = prob - jnp.min(prob, axis=1, keepdims=True)
+        prob = prob / jnp.max(prob, axis=1, keepdims=True)
+    return prob

@@ -120,3 +120,21 @@ def sample_torus(axis: jnp.ndarray, center: jnp.ndarray,
     r = major_radius + minor_radius * jnp.cos(V).reshape(-1)
     z = minor_radius * jnp.sin(V).reshape(-1)
     return center[None, :] + r[:, None] * ring + z[:, None] * a[None, :]
+
+
+def project_to_plane(points: jnp.ndarray, normal: jnp.ndarray,
+                     offset: jnp.ndarray) -> jnp.ndarray:
+    """Project points onto the plane <normal, p> = offset
+    (reference: src/fitting_utils.py:625-634)."""
+    a = normal / (jnp.linalg.norm(normal) + EPS)
+    prj = points - jnp.dot(points, a)[:, None] * a[None, :]
+    return prj + a[None, :] * offset
+
+
+def project_to_point_cloud(points: jnp.ndarray, surface: jnp.ndarray) -> jnp.ndarray:
+    """Snap each point to its nearest surface sample
+    (reference: src/fitting_utils.py:637-643)."""
+    d = (jnp.sum(points * points, 1)[:, None]
+         - 2.0 * jnp.dot(points, surface.T, preferred_element_type=jnp.float32)
+         + jnp.sum(surface * surface, 1)[None, :])
+    return surface[jnp.argmin(d, axis=1)]
