@@ -27,10 +27,36 @@ class Checkpointer:
         self.mngr.save(step, args=ocp.args.StandardSave(state), force=force)
 
     def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
+        """Restore into the structure of `state_like`. A target that is a
+        sub-tree of the saved state (e.g. params only, without opt_state)
+        restores partially."""
         step = self.mngr.latest_step() if step is None else step
         if step is None:
             return None
-        return self.mngr.restore(step, args=ocp.args.StandardRestore(state_like))
+        try:
+            return self.mngr.restore(
+                step, args=ocp.args.StandardRestore(state_like))
+        except Exception:
+            if state_like is None or not isinstance(state_like, dict):
+                raise
+            # partial restore: load the full saved tree untyped and slice
+            # out the requested top-level entries, validating leaf shapes
+            import jax
+            import numpy as np
+            full = self.mngr.restore(step, args=ocp.args.StandardRestore(None))
+            missing = [k for k in state_like if k not in full]
+            if missing:
+                raise KeyError(f"checkpoint lacks entries {missing}; "
+                               f"has {list(full.keys())}")
+            sub = {k: full[k] for k in state_like}
+            want = jax.tree_util.tree_leaves(state_like)
+            got = jax.tree_util.tree_leaves(sub)
+            if len(want) != len(got) or any(
+                    np.shape(a) != np.shape(b) for a, b in zip(got, want)):
+                raise ValueError(
+                    "checkpoint tree does not match the requested structure "
+                    "(wrong model for this checkpoint?)")
+            return sub
 
     def latest_step(self) -> Optional[int]:
         return self.mngr.latest_step()

@@ -161,15 +161,20 @@ def reconstruct_shape(points: jnp.ndarray, normals: jnp.ndarray,
     surf = geom_surf
     if spline_fit is not None:
         keys = jax.random.split(key, max_spline_slots)
+        pts_s = jax.vmap(lambda seg, kk: _sample_segment_points(
+            points, pred_labels, seg, SPLINE_PTS, kk))(slot_seg, keys)
+        if hasattr(spline_fit, "batched"):
+            # all slots through both decoders at once (fills the chip)
+            spline_surf = spline_fit.batched(
+                pts_s, jnp.ones((max_spline_slots, SPLINE_PTS)),
+                seg_type10[slot_seg] == 9)
+        else:
+            def run_slot(args):
+                pts, seg = args
+                return spline_fit(pts, jnp.ones((SPLINE_PTS,)),
+                                  seg_type10[seg] == 9)
 
-        def run_slot(args):
-            seg, kk = args
-            pts = _sample_segment_points(points, pred_labels, seg,
-                                         SPLINE_PTS, kk)
-            return spline_fit(pts, jnp.ones((SPLINE_PTS,)),
-                              seg_type10[seg] == 9)
-
-        spline_surf = lax.map(run_slot, (slot_seg, keys))  # [S, G', 3]
+            spline_surf = lax.map(run_slot, (pts_s, slot_seg))  # [S, G', 3]
         # pad/crop spline samples to the geometric sample count
         g2 = geom_surf.shape[1]
         s2 = spline_surf.shape[1]
