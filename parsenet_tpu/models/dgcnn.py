@@ -69,21 +69,24 @@ class DGCNNEncoder(nn.Module):
     mode: int = 0
     k: int = 80
     dtype: Dtype = jnp.float32
+    remat: bool = False  # rematerialize EdgeConvs: trades recompute for the
+    # [B, N, k, C] activation memory in the backward pass (large batches)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         # x: [B, N, C_in] -> (global [B, 1024], skip [B, N, 256])
+        EC = nn.remat(EdgeConv) if self.remat else EdgeConv
         if self.mode == 5:
             idx = knn_ops.knn_points_normals(x, k1=self.k, k2=self.k)
         else:
             idx = knn_ops.knn(x, k1=self.k, k2=self.k)
-        x1 = EdgeConv(64, groups=2, name="conv1", dtype=self.dtype)(x, idx)
+        x1 = EC(64, groups=2, name="conv1", dtype=self.dtype)(x, idx)
 
         idx = knn_ops.knn(x1, k1=self.k, k2=self.k)
-        x2 = EdgeConv(64, groups=2, name="conv2", dtype=self.dtype)(x1, idx)
+        x2 = EC(64, groups=2, name="conv2", dtype=self.dtype)(x1, idx)
 
         idx = knn_ops.knn(x2, k1=self.k, k2=self.k)
-        x3 = EdgeConv(128, groups=2, name="conv3", dtype=self.dtype)(x2, idx)
+        x3 = EC(128, groups=2, name="conv3", dtype=self.dtype)(x2, idx)
 
         feats = jnp.concatenate([x1, x2, x3], axis=-1)  # [B, N, 256]
         h = nn.Dense(1024, name="mlp1", dtype=self.dtype)(feats)
@@ -109,13 +112,15 @@ class PrimitivesEmbedding(nn.Module):
     with_embedding: bool = True
     with_primitives: bool = True
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, points: jnp.ndarray):
         B, N = points.shape[0], points.shape[1]
         dt = self.dtype
         global_feat, skip = DGCNNEncoder(mode=self.mode, k=self.k,
-                                         name="encoder", dtype=dt)(points)
+                                         name="encoder", dtype=dt,
+                                         remat=self.remat)(points)
         h = jnp.concatenate(
             [jnp.broadcast_to(global_feat[:, None, :], (B, N, 1024)), skip],
             axis=-1)

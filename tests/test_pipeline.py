@@ -162,3 +162,18 @@ class TestMultiDevice:
     def test_dryrun_multichip(self):
         import __graft_entry__
         __graft_entry__.dryrun_multichip(8)
+
+
+class TestSplineSlots:
+    def test_batched_matches_sequential(self):
+        from parsenet_tpu.train.train_e2e import build_spline_fit
+        rng = np.random.RandomState(0)
+        spline_fit = build_spline_fit(grid=20, sample_grid=10)
+        pts = jnp.asarray(rng.randn(3, 200, 3).astype(np.float32))
+        w = jnp.asarray(rng.rand(3, 200).astype(np.float32))
+        closed = jnp.asarray([False, True, False])
+        batched = spline_fit.batched(pts, w, closed)
+        seq = jnp.stack([spline_fit(pts[i], w[i], closed[i])
+                         for i in range(3)])
+        np.testing.assert_allclose(np.asarray(batched), np.asarray(seq),
+                                   rtol=1e-4, atol=1e-5)
