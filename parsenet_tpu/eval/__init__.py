@@ -1,0 +1,3 @@
+"""Inference and evaluation pipelines."""
+from .pipeline import (Reconstruction, SegmentationPrediction,
+                       predict_segmentation, reconstruct_shape)

@@ -1,0 +1,1 @@
+"""Trainers: SplineNet, segmentation, end-to-end."""
