@@ -104,17 +104,81 @@ def mean_shift_step_pallas(m: jnp.ndarray, x: jnp.ndarray,
     return out[:n, :d]
 
 
+def _ms_multi_kernel(scalar_ref, m_ref, x_ref, out_ref):
+    """ALL mean-shift iterations for one ROW_TILE block, fully in VMEM.
+
+    Each shifted point's trajectory depends only on its own state and the
+    (fixed) cloud X, so row tiles iterate independently: the m tile never
+    round-trips through HBM between iterations.
+    scalar_ref (VMEM [1, 128]): [inv2b2, n_valid, iterations, ...].
+    """
+    inv2b2 = scalar_ref[0, 0]
+    n_valid = scalar_ref[0, 1].astype(jnp.int32)
+    iterations = scalar_ref[0, 2].astype(jnp.int32)
+    n_pad = x_ref.shape[0]
+    tm, d = m_ref.shape
+
+    def one_iter(_, m):
+        def body(j, carry):
+            acc, rs = carry
+            xj = x_ref[pl.ds(j * COL_TILE, COL_TILE), :]
+            s = jnp.dot(m, xj.T, preferred_element_type=jnp.float32)
+            k = jnp.exp((2.0 * s - 2.0) * inv2b2)
+            col = (j * COL_TILE
+                   + lax.broadcasted_iota(jnp.int32, (1, COL_TILE), 1))
+            k = jnp.where(col < n_valid, k, 0.0)
+            acc = acc + jnp.dot(k, xj, preferred_element_type=jnp.float32)
+            rs = rs + jnp.sum(k, axis=1, keepdims=True)
+            return acc, rs
+
+        acc0 = jnp.zeros((tm, d), jnp.float32)
+        rs0 = jnp.zeros((tm, 1), jnp.float32)
+        acc, rs = lax.fori_loop(0, n_pad // COL_TILE, body, (acc0, rs0))
+        new_m = acc / (rs + 1e-12)
+        norm = jnp.sqrt(jnp.sum(new_m * new_m, axis=1, keepdims=True))
+        return new_m / (norm + 1e-12)
+
+    out_ref[:] = lax.fori_loop(0, iterations, one_iter, m_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "interpret"))
 def mean_shift_iterations_pallas(X: jnp.ndarray, bandwidth: jnp.ndarray,
                                  iterations: int,
                                  interpret: bool = False) -> jnp.ndarray:
     """Drop-in for ops.mean_shift.mean_shift_iterations (gaussian kernel,
-    forward only — wrap in stop_gradient on differentiable paths)."""
+    forward only — wrap in stop_gradient on differentiable paths). The whole
+    iteration loop runs inside one kernel per row tile."""
     inv2b2 = 1.0 / (2.0 * bandwidth * bandwidth)
-
-    def body(_, m):
-        return mean_shift_step_pallas(m, X, inv2b2, interpret=interpret)
-
-    return lax.fori_loop(0, iterations, body, X)
+    n, d = X.shape
+    d_pad = max(d, 128)
+    x_p = _pad_to(_pad_to(X, max(ROW_TILE, COL_TILE), 0), d_pad, 1)
+    scalars = jnp.zeros((1, 128), jnp.float32)
+    scalars = scalars.at[0, 0].set(jnp.asarray(inv2b2, jnp.float32))
+    scalars = scalars.at[0, 1].set(jnp.float32(n))
+    scalars = scalars.at[0, 2].set(jnp.float32(iterations))
+    n_rows = x_p.shape[0]
+    out = pl.pallas_call(
+        _ms_multi_kernel,
+        grid=(n_rows // ROW_TILE,),
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_TILE, x_p.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((x_p.shape[0], x_p.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROW_TILE, x_p.shape[1]), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x_p.shape, jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * iterations * n_rows * x_p.shape[0] * d_pad,
+            bytes_accessed=(n_rows + x_p.shape[0]) * d_pad * 4,
+            transcendentals=iterations * n_rows * x_p.shape[0],
+        ),
+    )(scalars, x_p, x_p)
+    return out[:n, :d]
 
 
 def pallas_available() -> bool:
