@@ -189,10 +189,11 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
             x = np.concatenate([points[:, sel], normals[:, sel]], -1) \
                 if with_normals else points[:, sel]
             key, sub = jax.random.split(key)
-            state, metrics = train_step(state, jax.device_put(x),
-                                        jax.device_put(labels[:, sel]),
-                                        jax.device_put(prim[:, sel]), sub,
-                                        jnp.float32(lr))
+            bsh = batch_sharding(mesh)
+            state, metrics = train_step(state, jax.device_put(x, bsh),
+                                        jax.device_put(labels[:, sel], bsh),
+                                        jax.device_put(prim[:, sel], bsh),
+                                        sub, jnp.float32(lr))
             agg.append(metrics)
             step = int(state.step)
             if step % 2000 == 0:  # periodic save (reference: e2e :298-306)

@@ -131,6 +131,10 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
     state = replicate(mesh, state)
     train_step, eval_step = make_step_fns(model, num_accum)
 
+    # micro-batches are [A, B, ...]: shard the shape axis (B) over the mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import DATA_AXIS
+    bsh_micro = NamedSharding(mesh, P(None, DATA_AXIS))
     bsh = batch_sharding(mesh)
     sched = PlateauScheduler(config.lr, patience=config.patience, factor=0.5)
     steps_per_epoch = steps_per_epoch or max(
@@ -159,8 +163,9 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
             x, labels, prim = pack(*batch, points_per_shape)
             key, sub = jax.random.split(key)
             state, metrics = train_step(
-                state, jax.device_put(x), jax.device_put(labels),
-                jax.device_put(prim), sub, jnp.float32(lr))
+                state, jax.device_put(x, bsh_micro),
+                jax.device_put(labels, bsh_micro),
+                jax.device_put(prim, bsh_micro), sub, jnp.float32(lr))
             agg.append(metrics)
         vals = []
         for _ in range(val_steps):
@@ -171,8 +176,9 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
             xv = (np.concatenate([points, normals], -1)
                   if with_normals else points)
             key, sub = jax.random.split(key)
-            m = eval_step(state, jax.device_put(xv), jax.device_put(labels),
-                          jax.device_put(prim), sub)
+            m = eval_step(state, jax.device_put(xv, bsh),
+                          jax.device_put(labels, bsh),
+                          jax.device_put(prim, bsh), sub)
             vals.append({k: float(v) for k, v in m.items()})
         val_emb = float(np.mean([v["embed_loss"] for v in vals]))
         lr = sched.step(val_emb)

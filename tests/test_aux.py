@@ -123,3 +123,31 @@ class TestSaveParams:
             back, pts, np.zeros(200, np.int64), str(tmp_path / "meshes"),
             epsilon=0.2)
         assert len(files) == 1 and files[0].endswith("plane.ply")
+
+
+class TestDebugNans:
+    def test_train_step_clean_under_debug_nans(self):
+        """SURVEY §5 sanitizer item: a healthy train step must not trip
+        jax.debug_nans (the reference's equivalent is detect_anomaly +
+        grad_norm guards)."""
+        import jax
+        import jax.numpy as jnp
+        from parsenet_tpu.data.synthetic import make_shape_batch
+        from parsenet_tpu.models.dgcnn import PrimitivesEmbedding
+        from parsenet_tpu.train.state import create_state
+        from parsenet_tpu.train.train_seg import make_step_fns
+        rng = np.random.RandomState(0)
+        pts, labels, normals, prim = make_shape_batch(rng, 2, 128,
+                                                      min_segments=2,
+                                                      max_segments=3)
+        x = np.concatenate([pts, normals], -1).astype(np.float32)
+        model = PrimitivesEmbedding(emb_size=8, num_primitives=10, mode=5, k=4)
+        state = create_state(model, jax.random.PRNGKey(0),
+                             (jnp.zeros((2, 128, 6)),))
+        train_step, _ = make_step_fns(model)
+        with jax.debug_nans(True):
+            state, m = train_step(state, jnp.asarray(x)[None],
+                                  jnp.asarray(labels)[None],
+                                  jnp.asarray(prim)[None],
+                                  jax.random.PRNGKey(1), jnp.float32(1e-3))
+            assert np.isfinite(float(m["embed_loss"]))
