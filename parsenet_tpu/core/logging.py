@@ -13,7 +13,7 @@ import json
 import logging
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 
 def setup_logging(log_dir: str, name: str) -> logging.Logger:

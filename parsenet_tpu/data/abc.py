@@ -14,7 +14,7 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
-from .augment import Augment, AUGMENT_ROUTINES, align_canonical
+from .augment import AUGMENT_ROUTINES, align_canonical
 
 EPS = np.finfo(np.float32).eps
 

@@ -12,7 +12,7 @@ reference's exact keys so real ABC data drops in unchanged.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+
 
 import numpy as np
 

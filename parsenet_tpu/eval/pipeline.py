@@ -28,9 +28,8 @@ from jax import lax
 from ..core.guards import EPS
 from ..ops.chamfer import min_sqdist
 from ..ops.mean_shift import guard_mean_shift
-from ..ops.primitive_dist import (GEOM_CONE, GEOM_CYLINDER, GEOM_PLANE,
-                                  GEOM_SPHERE, geom_type_from_label,
-                                  residual_select)
+from ..ops.primitive_dist import (GEOM_CONE, GEOM_CYLINDER, GEOM_SPHERE,
+                                  geom_type_from_label, residual_select)
 from ..ops.primitive_fits import fit_all_primitives_shared_points
 from ..ops.sampling import (sample_cone, sample_cylinder, sample_plane,
                             sample_sphere)

@@ -25,7 +25,6 @@ Everything is differentiable end-to-end exactly where the reference is
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax

@@ -18,8 +18,6 @@ as fixed-shape device sampling:
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -21,7 +21,7 @@ TPU-first differences from the reference:
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

@@ -14,12 +14,12 @@ arrays (no dicts) so results stack cleanly under vmap.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from ..core.guards import EPS, guard_sqrt, safe_acos, highest_precision
+from ..core.guards import EPS, guard_sqrt, highest_precision
 from .linalg import ridge_lstsq, smallest_eigvec
 
 

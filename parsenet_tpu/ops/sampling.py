@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core.guards import EPS
-from .standardize import rotation_matrix_a_to_b
 
 
 def _orthonormal_frame(a: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -8,7 +8,7 @@ plane, and matplotlib scatter snapshots — all exportable as PLY/PNG.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -1,7 +1,7 @@
 """Train state and optimizer factory."""
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax
 import jax

@@ -23,6 +23,7 @@ import numpy as np
 
 from ..core.checkpoint import Checkpointer
 from ..core.config import Config
+from ..core.logging import MetricsLogger
 from ..fitting.pipeline import FittingLossOut, fitting_loss_shape, make_spline_apply
 from ..losses.embedding import primitive_nll_loss, triplet_loss
 from ..models.dgcnn import PrimitivesEmbedding
@@ -177,6 +178,7 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
     steps_per_epoch = steps_per_epoch or max(
         config.num_train // config.batch_size, 1)
     lr = config.lr
+    mlog = MetricsLogger(config.log_dir, config.model_path)
 
     for epoch in range(config.num_epochs):
         t0 = time.time()
@@ -204,6 +206,7 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
                  tr["res_loss"], tr["geom_loss"], tr["spline_loss"],
                  tr["embed_loss"], tr["seg_iou"], tr["prim_iou"],
                  tr["clusters"], time.time() - t0)
+        mlog.log(epoch, tr)
         ckpt.save(int(state.step), jax.device_get({"params": state.params}))
     ckpt.wait()
     return state

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.checkpoint import Checkpointer, PlateauScheduler
+from ..core.logging import MetricsLogger
 from ..core.config import Config
 from ..losses.embedding import primitive_nll_loss, triplet_loss
 from ..models.dgcnn import PrimitivesEmbedding
@@ -143,6 +144,7 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
     key = jax.random.PRNGKey(config.seed + 2)
     best = float("inf")
     lr = config.lr
+    mlog = MetricsLogger(config.log_dir, config.model_path)
 
     def pack(points, labels, normals, prim, n_keep):
         n_keep = min(n_keep, points.shape[1])
@@ -186,6 +188,7 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
         log.info("epoch %d embed %.4f prim %.4f miou %.3f | val embed %.4f "
                  "lr %.2e (%.1fs)", epoch, tr["embed_loss"], tr["prim_loss"],
                  tr["miou"], val_emb, lr, time.time() - t0)
+        mlog.log(epoch, {**tr, "val_embed_loss": val_emb, "lr": lr})
         if val_emb < best:
             best = val_emb
             ckpt.save(epoch, jax.device_get(

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.checkpoint import Checkpointer, PlateauScheduler
+from ..core.logging import MetricsLogger
 from ..core.config import Config
 from ..losses.spline import (control_points_permute_closed_reg_loss,
                              control_points_permute_reg_loss, laplacian_loss,
@@ -31,7 +32,7 @@ from ..losses.spline import (control_points_permute_closed_reg_loss,
                              spline_reconstruction_loss)
 from ..models.splinenet import SplineNet
 from ..ops.bspline import uniform_knot_bspline
-from ..parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from ..parallel.mesh import batch_sharding, make_mesh, replicate
 from .state import TrainState, create_state
 
 log = logging.getLogger(__name__)
@@ -138,6 +139,7 @@ def run_training(config: Config, closed: bool = False,
     host_rng = np.random.RandomState(config.seed)
     best_cd = float("inf")
     lr = config.lr
+    mlog = MetricsLogger(config.log_dir, config.model_path)
 
     for epoch in range(config.num_epochs):
         t0 = time.time()
@@ -168,6 +170,7 @@ def run_training(config: Config, closed: bool = False,
         log.info("epoch %d loss %.5f cd %.5f reg %.5f val_cd %.5f lr %.2e "
                  "(%.1fs)", epoch, tr["loss"], tr["cd"], tr["l_reg"], val_cd,
                  lr, time.time() - t0)
+        mlog.log(epoch, {**tr, "val_cd": val_cd, "lr": lr})
         if ckpt is not None and val_cd < best_cd:
             best_cd = val_cd
             ckpt.save(epoch, jax.device_get(
