@@ -151,3 +151,33 @@ class TestDebugNans:
                                   jnp.asarray(prim)[None],
                                   jax.random.PRNGKey(1), jnp.float32(1e-3))
             assert np.isfinite(float(m["embed_loss"]))
+
+
+class TestPrefetch:
+    def test_prefetch_preserves_order_and_values(self, rng):
+        import jax.numpy as jnp
+        from parsenet_tpu.data.prefetch import prefetch_to_device
+
+        def gen():
+            for i in range(5):
+                yield {"x": np.full((4, 3), i, np.float32), "i": i}
+
+        out = list(prefetch_to_device(gen(), size=2))
+        assert len(out) == 5
+        for i, b in enumerate(out):
+            assert int(np.asarray(b["i"])) == i
+            np.testing.assert_allclose(np.asarray(b["x"]), i)
+
+
+class TestStepTimer:
+    def test_summary(self):
+        import time
+        from parsenet_tpu.core.profiling import StepTimer
+        t = StepTimer(skip_first=1)
+        for _ in range(4):
+            t.start()
+            time.sleep(0.01)
+            t.stop()
+        s = t.summary()
+        assert s["n"] == 3 and 0.005 < s["mean_s"] < 0.2
+        assert s["steps_per_s"] > 0
