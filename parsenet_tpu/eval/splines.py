@@ -17,7 +17,7 @@ import numpy as np
 
 from ..core.checkpoint import Checkpointer
 from ..core.config import Config
-from ..losses.spline import spline_reconstruction_loss
+from ..ops.chamfer import chamfer_distance
 from ..models.splinenet import SplineNet
 from ..ops.bspline import close_control_grid, sample_surface, uniform_knot_bspline
 from ..postprocess import optimize_spline_kronecker, tessellate_grid, write_ply
@@ -92,15 +92,17 @@ def evaluate_splinenet(config: Config, closed: bool = False,
         else:
             recon = sample_surface(nu, nv, out.reshape(-1, grid, grid, 3))
             gt_recon = sample_surface(nu, nv, cps_r)
-        cd, _ = spline_reconstruction_loss(nu if not closed else nu_c,
-                                           nv if not closed else nv_c,
-                                           out, pts_r, sqrt=True)
+        # two-sided sqrt chamfer between the (wrap-aware) sampled surface and
+        # the input points (reference: test_closed_control_points.py:120-150)
+        cd = chamfer_distance(recon, pts_r, sqrt=True)
         cds.append(float(cd))
 
         if if_optimize or export_dir:
             recon_np = np.asarray(recon)
             gt_np = np.asarray(gt_recon)
-            gu = 41 if closed else 40
+            # the sampled parameter grid is 40x40 for both open and closed
+            # (closed differs in CONTROL rows, 21, not in samples)
+            gu = 40
             for i in range(recon_np.shape[0]):
                 inp = np.asarray(pts_r[i])
                 if if_optimize:
