@@ -59,7 +59,9 @@ def standardize_points(points: jnp.ndarray, weights: jnp.ndarray,
     """
     n = points.shape[0]
     conf = (weights > conf_threshold).astype(jnp.float32)
-    k = max(n // 4, 1)
+    # fallback subset size: top quarter for big clouds, top half otherwise
+    # (reference: fitting_utils.py:516-520)
+    k = max(n // 4 if n >= 7500 else n // 2, 1)
     kth = jnp.sort(weights)[n - k]
     topk_mask = (weights >= kth).astype(jnp.float32)
     use_topk = jnp.sum(conf) < min_confident
