@@ -8,10 +8,10 @@ reference's generate_predictions.py + test.py per shape.
 
 Prints ONE JSON line:
   {"metric": "abc_shapes_per_hour_e2e", "value": N, "unit": "shapes/hour",
-   "vs_baseline": N / 10000}
-vs_baseline compares against the driver north star of 10,000 shapes/hour on
-a v5e-8 (BASELINE.md); this bench runs on however many chips are visible and
-scales per-chip numbers linearly only across the REAL device count.
+   "vs_baseline": R}
+vs_baseline R = (measured shapes/hour per chip) / (north-star per-chip rate),
+where the north star is 10,000 shapes/hour on a v5e-8 (BASELINE.md), i.e.
+1,250 per chip. R > 1 beats the target.
 """
 import json
 import os
