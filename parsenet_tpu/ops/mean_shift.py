@@ -122,13 +122,15 @@ def nms(shifted: jnp.ndarray, X: jnp.ndarray, bandwidth: jnp.ndarray):
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "iterations",
                                              "kernel", "max_clusters",
-                                             "max_doublings", "use_pallas"))
+                                             "max_doublings", "use_pallas",
+                                             "attempt_iterations"))
 def guard_mean_shift(X: jnp.ndarray, quantile: float,
                      key: Optional[jax.Array] = None,
                      num_samples: int = 5000, iterations: int = 10,
                      kernel: str = "gaussian", max_clusters: int = 49,
                      max_doublings: int = 8,
-                     use_pallas: bool = False) -> MeanShiftResult:
+                     use_pallas: bool = False,
+                     attempt_iterations: Optional[int] = None) -> MeanShiftResult:
     """Mean-shift with bandwidth escalation until <= max_clusters clusters
     (reference: src/mean_shift.py:81-96). Bounded while_loop, one compile.
 
@@ -141,18 +143,21 @@ def guard_mean_shift(X: jnp.ndarray, quantile: float,
     sorted_d = lax.stop_gradient(_sorted_subset_sqdist(X, key, num_samples))
     X_ng = lax.stop_gradient(X)
 
+    # attempt_iterations: cheaper escalation attempts (perf knob; the
+    # accepted bandwidth is always re-run at the full `iterations`, and the
+    # reference-default None keeps attempts at full strength too)
+    att_iters = attempt_iterations or iterations
+
     if use_pallas and kernel == "gaussian":
         # fused flash-style TPU kernel (forward-only; inference path)
         from .pallas_kernels import mean_shift_iterations_pallas
-        shift_fn = lambda xx, bw: mean_shift_iterations_pallas(
-            xx, bw, iterations)
+        shift_fn = lambda xx, bw, it: mean_shift_iterations_pallas(xx, bw, it)
     else:
-        shift_fn = lambda xx, bw: mean_shift_iterations(
-            xx, bw, iterations, kernel)
+        shift_fn = lambda xx, bw, it: mean_shift_iterations(xx, bw, it, kernel)
 
     def attempt(q):
         bw = bandwidth_from_sorted(sorted_d, q)
-        shifted = shift_fn(X_ng, bw)
+        shifted = shift_fn(X_ng, bw, att_iters)
         _, _, k = nms(shifted, X_ng, bw)
         return k
 
@@ -172,7 +177,7 @@ def guard_mean_shift(X: jnp.ndarray, quantile: float,
     # the pallas kernel is forward-only and used for inference)
     bw = bandwidth_from_sorted(sorted_d, q_acc)
     if use_pallas and kernel == "gaussian":
-        shifted = shift_fn(X, bw)
+        shifted = shift_fn(X, bw, iterations)
     else:
         shifted = mean_shift_iterations(X, bw, iterations, kernel)
     center_mask, labels, k = nms(lax.stop_gradient(shifted), X_ng, bw)
