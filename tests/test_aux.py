@@ -181,3 +181,14 @@ class TestStepTimer:
         s = t.summary()
         assert s["n"] == 3 and 0.005 < s["mean_s"] < 0.2
         assert s["steps_per_s"] > 0
+
+
+class TestShippedConfigs:
+    def test_all_configs_parse(self):
+        import glob
+        from parsenet_tpu.core.config import load_config
+        files = sorted(glob.glob("configs/*.yml"))
+        assert len(files) >= 9
+        for f in files:
+            cfg = load_config(f)
+            assert cfg.batch_size >= 1 and cfg.grid_size == 20, f
