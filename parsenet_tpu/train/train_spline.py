@@ -101,7 +101,7 @@ def run_training(config: Config, closed: bool = False,
                  val_steps: int = 4,
                  anisotropic: bool = True,
                  point_buckets=POINT_BUCKETS,
-                 log_dir: Optional[str] = None) -> TrainState:
+                 checkpoint: bool = True) -> TrainState:
     """Full training loop. Generators yield (points, cps, scales, Rs)."""
     from ..data.splines import SplineDataset
 
@@ -131,8 +131,8 @@ def run_training(config: Config, closed: bool = False,
     train_step, eval_step = make_train_step(model, nu, nv, grid, closed,
                                             anisotropic)
     sched = PlateauScheduler(config.lr, patience=10, factor=0.5, min_lr=3e-5)
-    ckpt = Checkpointer(f"{config.log_dir}/checkpoints/{config.model_path}") \
-        if log_dir is not False else None
+    ckpt = (Checkpointer(f"{config.log_dir}/checkpoints/{config.model_path}")
+            if checkpoint else None)
     bsh = batch_sharding(mesh)
     steps_per_epoch = steps_per_epoch or max(
         config.num_train // config.batch_size, 1)
