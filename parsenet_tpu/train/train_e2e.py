@@ -125,11 +125,18 @@ def make_e2e_step(model: PrimitivesEmbedding, spline_fit,
         metrics["grad_ok"] = ok.astype(jnp.float32)
         return new_state, metrics
 
-    return train_step, loss_fn
+    @jax.jit
+    def eval_step(state: TrainState, x, labels, prim, key):
+        _, metrics = loss_fn(state.params, x, labels, prim, key)
+        return metrics
+
+    return train_step, eval_step
 
 
 def run_training(config: Config, train_gen: Optional[Iterator] = None,
+                 val_gen: Optional[Iterator] = None,
                  steps_per_epoch: Optional[int] = None,
+                 val_steps: int = 2,
                  points_per_shape: int = 8000,
                  open_vars=None, closed_vars=None,
                  pretrained_params=None,
@@ -142,6 +149,7 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
                         val_size=config.num_val, test_size=config.num_test,
                         normals=True, primitives=True)
         train_gen = ds.get_train(if_normal_noise=True)
+        val_gen = ds.get_val(batch_size=config.batch_size)
 
     with_normals = config.mode == 5
     model = PrimitivesEmbedding(emb_size=128, num_primitives=10,
@@ -155,7 +163,6 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
     if pretrained_params is None and config.pretrain_model_path:
         # fine-tune from the pretrained segmentation checkpoint
         # (reference: train_parsenet_e2e.py:82-84)
-        from ..core.checkpoint import Checkpointer
         pc = Checkpointer(
             f"{config.log_dir}/checkpoints/{config.pretrain_model_path}")
         if pc.latest_step() is not None:
@@ -170,8 +177,8 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
     spline_fit = build_spline_fit(config.grid_size, open_vars=open_vars,
                                   closed_vars=closed_vars,
                                   log_dir=config.log_dir)
-    train_step, _ = make_e2e_step(model, spline_fit, lamb=lamb,
-                                  with_normals=with_normals)
+    train_step, eval_step = make_e2e_step(model, spline_fit, lamb=lamb,
+                                          with_normals=with_normals)
     ckpt = Checkpointer(f"{config.log_dir}/checkpoints/{config.model_path}")
     host_rng = np.random.RandomState(config.seed + 1)
     key = jax.random.PRNGKey(config.seed + 3)
@@ -201,11 +208,32 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
             if step % 2000 == 0:  # periodic save (reference: e2e :298-306)
                 ckpt.save(step, jax.device_get({"params": state.params}))
         tr = {k: float(np.mean([float(m[k]) for m in agg])) for k in agg[0]}
+        if val_gen is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            vals = []
+            for _ in range(val_steps):
+                vp, vl, vn, vpr = next(val_gen)
+                vsel = host_rng.choice(vp.shape[1],
+                                       min(points_per_shape, vp.shape[1]),
+                                       replace=False)
+                vx = (np.concatenate([vp[:, vsel], vn[:, vsel]], -1)
+                      if with_normals else vp[:, vsel])
+                key, sub = jax.random.split(key)
+                bsh = batch_sharding(mesh)
+                m = eval_step(state, jax.device_put(vx, bsh),
+                              jax.device_put(vl[:, vsel], bsh),
+                              jax.device_put(vpr[:, vsel], bsh), sub)
+                vals.append({k: float(v) for k, v in m.items()})
+            tr["val_res_loss"] = float(np.mean([v["res_loss"] for v in vals]))
+            tr["val_seg_iou"] = float(np.mean([v["seg_iou"] for v in vals]))
         log.info("epoch %d res %.4f (geom %.4f spline %.4f) embed %.4f "
-                 "siou %.3f piou %.3f clusters %.1f (%.1fs)", epoch,
+                 "siou %.3f piou %.3f clusters %.1f%s (%.1fs)", epoch,
                  tr["res_loss"], tr["geom_loss"], tr["spline_loss"],
                  tr["embed_loss"], tr["seg_iou"], tr["prim_iou"],
-                 tr["clusters"], time.time() - t0)
+                 tr["clusters"],
+                 (f" | val res {tr['val_res_loss']:.4f} siou "
+                  f"{tr['val_seg_iou']:.3f}" if "val_res_loss" in tr else ""),
+                 time.time() - t0)
         mlog.log(epoch, tr)
         ckpt.save(int(state.step), jax.device_get({"params": state.params}))
     ckpt.wait()
