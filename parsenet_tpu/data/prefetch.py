@@ -43,3 +43,24 @@ def prefetch_to_device(it: Iterator, size: int = 2,
         if item is _SENTINEL:
             return
         yield item
+
+
+def lookahead(it: Iterator, size: int = 2) -> Iterator:
+    """Host-side lookahead: run the (augmentation/canonicalization-heavy)
+    generator in a background thread so batch prep overlaps device steps."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _SENTINEL = object()
+
+    def producer():
+        try:
+            for batch in it:
+                q.put(batch)
+        finally:
+            q.put(_SENTINEL)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            return
+        yield item

@@ -151,6 +151,8 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
         train_gen = ds.get_train(if_normal_noise=True)
         val_gen = ds.get_val(batch_size=config.batch_size)
 
+    from ..data.prefetch import lookahead
+    train_gen = lookahead(train_gen)
     with_normals = config.mode == 5
     model = PrimitivesEmbedding(emb_size=128, num_primitives=10,
                                 mode=5 if with_normals else 0,

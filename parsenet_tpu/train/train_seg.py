@@ -109,6 +109,9 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
         val_gen = ds.get_val(if_normal_noise=config.mode == 5,
                              batch_size=config.batch_size)
 
+    from ..data.prefetch import lookahead
+    train_gen = lookahead(train_gen)
+
     with_normals = config.mode == 5
     model = PrimitivesEmbedding(emb_size=128, num_primitives=10,
                                 mode=5 if with_normals else 0,

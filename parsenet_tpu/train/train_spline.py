@@ -121,6 +121,9 @@ def run_training(config: Config, closed: bool = False,
         train_gen = ds.load_train_data(anisotropic=anisotropic, if_augment=True)
         val_gen = ds.load_val_data(anisotropic=anisotropic)
 
+    from ..data.prefetch import lookahead
+    train_gen = lookahead(train_gen)
+
     model = SplineNet(grid=grid, k=10, mode=1 if closed else 0)
     rng = jax.random.PRNGKey(config.seed)
     sample = jnp.zeros((config.batch_size, point_buckets[0], 3))
