@@ -223,3 +223,19 @@ def reconstruct_shape(points: jnp.ndarray, normals: jnp.ndarray,
     sk_2 = jnp.mean((d_in < 0.02).astype(jnp.float32))
     return Reconstruction(surf, valid, jnp.arange(K_MAX), residual, cov,
                           sk_1, sk_2)
+
+
+@jax.jit
+def coverage_metrics(points: jnp.ndarray, flat_surf: jnp.ndarray,
+                     flat_mask: jnp.ndarray):
+    """Recompute the coverage metrics for a (possibly host-refined) surface
+    collection. points [N,3], flat_surf [M,3], flat_mask [M].
+    Returns (p_cov, sk_1, sk_2)."""
+    d_in = min_sqdist(points[None], flat_surf[None], flat_mask[None])[0]
+    d_in = jnp.sqrt(jnp.clip(d_in, min=1e-12))
+    d_out = min_sqdist(flat_surf[None], points[None])[0]
+    d_out = jnp.sqrt(jnp.clip(d_out, min=1e-12))
+    cov = 0.5 * (jnp.mean(d_in)
+                 + jnp.sum(d_out * flat_mask) / (jnp.sum(flat_mask) + EPS))
+    return (cov, jnp.mean((d_in < 0.01).astype(jnp.float32)),
+            jnp.mean((d_in < 0.02).astype(jnp.float32)))

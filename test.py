@@ -1,9 +1,12 @@
 """Full fitting + reconstruction evaluation (reference: test.py).
 
 Reads predictions.h5 (from generate_predictions.py), fits every segment,
-and reports residual + coverage (sk/pk @ {0.01, 0.02}) + SIOU.
+and reports residual + coverage (sk/pk @ {0.01, 0.02}) + SIOU. With
+--optimize, spline-segment surfaces are additionally refined by the
+classical kronecker least-squares refit (reference: residual_eval_mode
+if_optimize) before the coverage metrics.
 
-Usage: python test.py configs/config_parsenet_normals.yml [start] [end]
+Usage: python test.py configs/config_parsenet_normals.yml [start] [end] [--optimize]
 """
 import sys
 
@@ -15,14 +18,21 @@ import numpy as np
 from parsenet_tpu.core.config import load_config
 from parsenet_tpu.core.logging import setup_logging
 from parsenet_tpu.data.abc import ABCDataset
-from parsenet_tpu.eval.pipeline import reconstruct_shape
+from parsenet_tpu.eval.pipeline import coverage_metrics, reconstruct_shape
+from parsenet_tpu.postprocess import optimize_spline_kronecker
 from parsenet_tpu.train.train_e2e import build_spline_fit
 
 
 def main():
-    cfg = load_config(sys.argv[1] if len(sys.argv) > 1 else None)
-    start = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    end = int(sys.argv[3]) if len(sys.argv) > 3 else cfg.num_test
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    if set(flags) - {"--optimize"}:
+        raise SystemExit(f"unknown flag(s) {sorted(set(flags) - {'--optimize'})}; "
+                         "supported: --optimize")
+    if_optimize = "--optimize" in flags
+    cfg = load_config(args[0] if args else None)
+    start = int(args[1]) if len(args) > 1 else 0
+    end = int(args[2]) if len(args) > 2 else cfg.num_test
     log = setup_logging(cfg.log_dir, "test")
     ds = ABCDataset(1, train_size=0, val_size=cfg.num_val,
                     test_size=cfg.num_test, normals=True, primitives=True,
@@ -43,8 +53,42 @@ def main():
                                 jnp.asarray(seg_ids[i]),
                                 jnp.asarray(pred_prims[i]), sub,
                                 spline_fit=spline_fit)
-        res.append(float(rec.residual)); cov.append(float(rec.p_cov))
-        sk1.append(float(rec.sk_1)); sk2.append(float(rec.sk_2))
+        p_cov, s1, s2 = float(rec.p_cov), float(rec.sk_1), float(rec.sk_2)
+        if if_optimize:
+            # classical per-segment spline refit on the host, then recompute
+            # coverage with the refined surfaces substituted
+            surf = np.array(rec.surface_points)  # copy: jax views are read-only
+            mask = np.asarray(rec.surface_mask).astype(bool)
+            labels_i = seg_ids[i]
+            prim_remap = pred_prims[i].copy()
+            for v in (0, 6, 7):
+                prim_remap[prim_remap == v] = 9
+            prim_remap[prim_remap == 8] = 2
+            g = int(round(surf.shape[1] ** 0.5))
+            for k in np.where(mask)[0]:
+                seg_pts = points[0][labels_i == k]
+                if len(seg_pts) < 100:
+                    continue
+                seg_prim = np.bincount(prim_remap[labels_i == k],
+                                       minlength=10).argmax()
+                if seg_prim not in (2, 9):
+                    continue
+                # refit on a 32x32 subgrid (the LAP correspondence is
+                # O(n^3); 4096 samples would take minutes), evaluate the
+                # refined spline back on the full g x g grid
+                sub32 = surf[k].reshape(g, g, 3)[::g // 32, ::g // 32]
+                surf[k] = optimize_spline_kronecker(
+                    sub32.reshape(-1, 3), seg_pts.astype(np.float32),
+                    closed=bool(seg_prim == 9), grid_u=32, grid_v=32,
+                    eval_grid=(g, g))
+            flat = surf.reshape(-1, 3)
+            fmask = np.repeat(mask.astype(np.float32), surf.shape[1])
+            c, s1j, s2j = coverage_metrics(jnp.asarray(points[0]),
+                                           jnp.asarray(flat),
+                                           jnp.asarray(fmask))
+            p_cov, s1, s2 = float(c), float(s1j), float(s2j)
+        res.append(float(rec.residual)); cov.append(p_cov)
+        sk1.append(s1); sk2.append(s2)
         log.info("shape %d residual %.4f cov %.4f sk1 %.3f sk2 %.3f", i,
                  res[-1], cov[-1], sk1[-1], sk2[-1])
     log.info("MEAN residual %.4f chamfer-cov %.4f sk1 %.3f sk2 %.3f",
