@@ -23,8 +23,16 @@ class Checkpointer:
                                                  create=True),
         )
 
-    def save(self, step: int, state: Any, force: bool = False) -> None:
+    def save(self, step: int, state: Any, force: bool = False,
+             wait: bool = True) -> None:
+        """wait=True blocks until the write is durable. orbax saves are
+        async under the hood, and a process that exits before the write
+        commits loses the checkpoint (Python tears down the thread pool
+        before atexit hooks can drain it) — states here are small enough
+        (~20 MB) that blocking costs well under a second."""
         self.mngr.save(step, args=ocp.args.StandardSave(state), force=force)
+        if wait:
+            self.mngr.wait_until_finished()
 
     def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
         """Restore into the structure of `state_like`. A target that is a
