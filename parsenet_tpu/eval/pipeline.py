@@ -88,6 +88,21 @@ class Reconstruction(NamedTuple):
     p_cov: jnp.ndarray           # two-sided sqrt chamfer (pred<->input)
     sk_1: jnp.ndarray            # fraction of input within 0.01 of prediction
     sk_2: jnp.ndarray            # ... within 0.02
+    area_weights: jnp.ndarray    # [K_slots, S] local area element per sample
+
+
+def _area_weights(surf_grid: jnp.ndarray) -> jnp.ndarray:
+    """Local surface-area element per sample of a row-major g x g parameter
+    grid [g^2, 3]: |du x dv| of the sampled immersion. Weighting the
+    surface->points chamfer side by this matches the reference's
+    area-weighted mesh sampling (test.py:140-151 samples 10k points
+    proportionally to triangle area) without leaving the fixed grid."""
+    g2 = surf_grid.shape[0]
+    g = int(round(g2 ** 0.5))
+    s = surf_grid.reshape(g, g, 3)
+    tu = jnp.gradient(s, axis=0)
+    tv = jnp.gradient(s, axis=1)
+    return jnp.linalg.norm(jnp.cross(tu, tv), axis=-1).reshape(g2)
 
 
 def _sample_segment_points(points: jnp.ndarray, labels: jnp.ndarray,
@@ -163,6 +178,7 @@ def reconstruct_shape(points: jnp.ndarray, normals: jnp.ndarray,
     slot_valid = spline_ok[slot_seg]
 
     surf = geom_surf
+    area_w = jax.vmap(_area_weights)(geom_surf)            # [K, G^2]
     if spline_fit is not None:
         keys = jax.random.split(key, max_spline_slots)
         pts_s = jax.vmap(lambda seg, kk: _sample_segment_points(
@@ -179,17 +195,29 @@ def reconstruct_shape(points: jnp.ndarray, normals: jnp.ndarray,
                                   seg_type10[seg] == 9)
 
             spline_surf = lax.map(run_slot, (pts_s, slot_seg))  # [S, G', 3]
+        # area weights on the decoder's own parameter grid, BEFORE the
+        # pad/crop below destroys grid adjacency; rescale the padded row so
+        # its total stays the segment's true area (tiling would otherwise
+        # over-weight spline segments relative to geometric ones)
+        spline_w = jax.vmap(_area_weights)(spline_surf)    # [S, s2]
+        true_tot = jnp.sum(spline_w, axis=1, keepdims=True)
         # pad/crop spline samples to the geometric sample count
         g2 = geom_surf.shape[1]
         s2 = spline_surf.shape[1]
         if s2 >= g2:
             spline_surf = spline_surf[:, :g2]
+            spline_w = spline_w[:, :g2]
         else:
             reps = -(-g2 // s2)
             spline_surf = jnp.tile(spline_surf, (1, reps, 1))[:, :g2]
+            spline_w = jnp.tile(spline_w, (1, reps))[:, :g2]
+        spline_w = spline_w * true_tot / (
+            jnp.sum(spline_w, axis=1, keepdims=True) + EPS)
         use = slot_valid[:, None, None]
         surf = surf.at[slot_seg].set(
             jnp.where(use, spline_surf, surf[slot_seg]))
+        area_w = area_w.at[slot_seg].set(
+            jnp.where(slot_valid[:, None], spline_w, area_w[slot_seg]))
 
     # ---- residual: closed-form sqrt distance of each point to its own
     # segment's fitted primitive (the reference's ResidualLoss definition,
@@ -209,33 +237,32 @@ def reconstruct_shape(points: jnp.ndarray, normals: jnp.ndarray,
     residual = (jnp.sum(jnp.sqrt(jnp.clip(d_own, min=1e-12)) * pt_valid)
                 / (jnp.sum(pt_valid) + EPS))
 
-    # ---- coverage: input points vs union of predicted surfaces
+    # ---- coverage: input points vs union of predicted surfaces; the
+    # surface->points side is weighted by the local area element so dense
+    # parameter regions don't dominate (reference samples meshes by area)
     flat_surf = surf.reshape(-1, 3)
     flat_mask = jnp.repeat(valid.astype(jnp.float32), surf.shape[1])
-    d_in = min_sqdist(points[None], flat_surf[None], flat_mask[None])[0]
-    d_in = jnp.sqrt(jnp.clip(d_in, min=1e-12))
-    d_out = min_sqdist(flat_surf[None], points[None])[0]
-    d_out = jnp.sqrt(jnp.clip(d_out, min=1e-12))
-    m_out = flat_mask
-    cov = 0.5 * (jnp.mean(d_in)
-                 + jnp.sum(d_out * m_out) / (jnp.sum(m_out) + EPS))
-    sk_1 = jnp.mean((d_in < 0.01).astype(jnp.float32))
-    sk_2 = jnp.mean((d_in < 0.02).astype(jnp.float32))
+    flat_w = (valid[:, None] * area_w).reshape(-1)
+    cov, sk_1, sk_2 = coverage_metrics(points, flat_surf, flat_mask, flat_w)
     return Reconstruction(surf, valid, jnp.arange(K_MAX), residual, cov,
-                          sk_1, sk_2)
+                          sk_1, sk_2, area_w)
 
 
 @jax.jit
 def coverage_metrics(points: jnp.ndarray, flat_surf: jnp.ndarray,
-                     flat_mask: jnp.ndarray):
-    """Recompute the coverage metrics for a (possibly host-refined) surface
-    collection. points [N,3], flat_surf [M,3], flat_mask [M].
+                     flat_mask: jnp.ndarray,
+                     flat_w: Optional[jnp.ndarray] = None):
+    """Coverage metrics for a surface sample collection. points [N,3],
+    flat_surf [M,3], flat_mask [M], flat_w [M] optional area weights for the
+    surface->points side (defaults to flat_mask = uniform).
     Returns (p_cov, sk_1, sk_2)."""
+    if flat_w is None:
+        flat_w = flat_mask
     d_in = min_sqdist(points[None], flat_surf[None], flat_mask[None])[0]
     d_in = jnp.sqrt(jnp.clip(d_in, min=1e-12))
     d_out = min_sqdist(flat_surf[None], points[None])[0]
     d_out = jnp.sqrt(jnp.clip(d_out, min=1e-12))
     cov = 0.5 * (jnp.mean(d_in)
-                 + jnp.sum(d_out * flat_mask) / (jnp.sum(flat_mask) + EPS))
+                 + jnp.sum(d_out * flat_w) / (jnp.sum(flat_w) + EPS))
     return (cov, jnp.mean((d_in < 0.01).astype(jnp.float32)),
             jnp.mean((d_in < 0.02).astype(jnp.float32)))

@@ -58,6 +58,7 @@ def main():
             # classical per-segment spline refit on the host, then recompute
             # coverage with the refined surfaces substituted
             surf = np.array(rec.surface_points)  # copy: jax views are read-only
+            w = np.array(rec.area_weights)
             mask = np.asarray(rec.surface_mask).astype(bool)
             labels_i = seg_ids[i]
             prim_remap = pred_prims[i].copy()
@@ -81,11 +82,18 @@ def main():
                     sub32.reshape(-1, 3), seg_pts.astype(np.float32),
                     closed=bool(seg_prim == 9), grid_u=32, grid_v=32,
                     eval_grid=(g, g))
+                # refreshed area weights for the refit grid
+                s3 = surf[k].reshape(g, g, 3)
+                tu = np.gradient(s3, axis=0)
+                tv = np.gradient(s3, axis=1)
+                w[k] = np.linalg.norm(np.cross(tu, tv), axis=-1).reshape(-1)
             flat = surf.reshape(-1, 3)
             fmask = np.repeat(mask.astype(np.float32), surf.shape[1])
+            fw = (mask[:, None] * w).reshape(-1).astype(np.float32)
             c, s1j, s2j = coverage_metrics(jnp.asarray(points[0]),
                                            jnp.asarray(flat),
-                                           jnp.asarray(fmask))
+                                           jnp.asarray(fmask),
+                                           jnp.asarray(fw))
             p_cov, s1, s2 = float(c), float(s1j), float(s2j)
         res.append(float(rec.residual)); cov.append(p_cov)
         sk1.append(s1); sk2.append(s2)
