@@ -177,3 +177,68 @@ class TestSplineSlots:
                          for i in range(3)])
         np.testing.assert_allclose(np.asarray(batched), np.asarray(seq),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestAreaWeights:
+    def test_sphere_grid_weights_follow_sin_polar(self):
+        # lat-long sphere sampling: area element ~ sin(theta); poles ~ 0
+        from parsenet_tpu.eval.pipeline import _area_weights
+        g = 32
+        th = np.linspace(0, np.pi, g)
+        ph = np.linspace(0, 2 * np.pi, g)
+        T, P = np.meshgrid(th, ph, indexing="ij")
+        s = np.stack([np.sin(T) * np.cos(P), np.sin(T) * np.sin(P),
+                      np.cos(T)], -1)
+        w = np.asarray(_area_weights(jnp.asarray(s.reshape(-1, 3),
+                                                 jnp.float32))).reshape(g, g)
+        mid, pole = w[g // 2].mean(), w[1].mean()
+        assert mid > 3.0 * pole  # equator cells much larger than near-pole
+        # plane grid: uniform interior weights
+        u = np.linspace(0, 1, g)
+        U, V = np.meshgrid(u, u, indexing="ij")
+        p = np.stack([U, V, np.zeros_like(U)], -1)
+        wp = np.asarray(_area_weights(jnp.asarray(p.reshape(-1, 3),
+                                                  jnp.float32))).reshape(g, g)
+        interior = wp[1:-1, 1:-1]
+        assert np.allclose(interior, interior[0, 0], rtol=1e-4)
+
+    def test_coverage_metrics_weighting(self):
+        from parsenet_tpu.eval.pipeline import coverage_metrics
+        rng = np.random.RandomState(0)
+        pts = jnp.asarray(rng.randn(64, 3), jnp.float32)
+        surf = jnp.asarray(rng.randn(128, 3), jnp.float32)
+        mask = jnp.ones((128,), jnp.float32)
+        cov_u, s1u, s2u = coverage_metrics(pts, surf, mask)
+        # uniform weights reproduce the unweighted metric exactly
+        cov_w, s1w, s2w = coverage_metrics(pts, surf, mask,
+                                           2.5 * jnp.ones((128,)))
+        assert np.allclose(float(cov_u), float(cov_w), atol=1e-6)
+        assert float(s1u) == float(s1w) and float(s2u) == float(s2w)
+        # concentrating weight on the farthest surface sample raises cov
+        from parsenet_tpu.ops.chamfer import min_sqdist
+        d_out = np.asarray(min_sqdist(surf[None], pts[None])[0])
+        w = np.full((128,), 1e-6, np.float32)
+        w[np.argmax(d_out)] = 1.0
+        cov_far, _, _ = coverage_metrics(pts, surf, mask, jnp.asarray(w))
+        assert float(cov_far) > float(cov_u)
+
+    def test_reconstruct_exposes_area_weights(self):
+        from parsenet_tpu.eval.pipeline import reconstruct_shape
+        pts, labels, normals, prim = make_shape(np.random.RandomState(3), 800)
+        rec = reconstruct_shape(jnp.asarray(pts), jnp.asarray(normals),
+                                jnp.asarray(labels), jnp.asarray(prim),
+                                jax.random.PRNGKey(0))
+        w = np.asarray(rec.area_weights)
+        assert w.shape == rec.surface_points.shape[:2]
+        assert np.all(w >= 0) and np.isfinite(w).all()
+
+
+class TestCheckpointDurability:
+    def test_save_is_committed_on_return(self, tmp_path):
+        from parsenet_tpu.core.checkpoint import Checkpointer
+        import os
+        c = Checkpointer(str(tmp_path / "ck"))
+        c.save(0, {"params": {"w": jnp.ones((8, 8))}})
+        entries = os.listdir(str(tmp_path / "ck"))
+        assert "0" in entries
+        assert not any(e.endswith(".orbax-checkpoint-tmp") for e in entries)
