@@ -18,6 +18,7 @@ import numpy as np
 from parsenet_tpu.core.config import load_config
 from parsenet_tpu.core.logging import setup_logging
 from parsenet_tpu.data.abc import ABCDataset
+from parsenet_tpu import cpp as native
 from parsenet_tpu.eval.pipeline import coverage_metrics, reconstruct_shape
 from parsenet_tpu.postprocess import optimize_spline_kronecker
 from parsenet_tpu.train.train_e2e import build_spline_fit
@@ -68,18 +69,23 @@ def main():
             g = int(round(surf.shape[1] ** 0.5))
             for k in np.where(mask)[0]:
                 seg_pts = points[0][labels_i == k]
-                if len(seg_pts) < 100:
+                # reference gates: splines need >=100 points, the classical
+                # refit only runs above 200 (primitive_forward.py:978-996)
+                if len(seg_pts) <= 200:
                     continue
                 seg_prim = np.bincount(prim_remap[labels_i == k],
                                        minlength=10).argmax()
                 if seg_prim not in (2, 9):
                     continue
+                # statistical outlier removal before the refit, as the
+                # reference does in eval mode (primitive_forward.py:989)
+                seg_pts = native.remove_outliers(seg_pts.astype(np.float32))
                 # refit on a 32x32 subgrid (the LAP correspondence is
                 # O(n^3); 4096 samples would take minutes), evaluate the
                 # refined spline back on the full g x g grid
                 sub32 = surf[k].reshape(g, g, 3)[::g // 32, ::g // 32]
                 surf[k] = optimize_spline_kronecker(
-                    sub32.reshape(-1, 3), seg_pts.astype(np.float32),
+                    sub32.reshape(-1, 3), seg_pts,
                     closed=bool(seg_prim == 9), grid_u=32, grid_v=32,
                     eval_grid=(g, g))
                 # refreshed area weights for the refit grid
