@@ -30,7 +30,9 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 NUM_POINTS = 10000
-BATCH = 1   # batching measured slightly worse (vmapped NMS memory pressure)
+BATCH = 4   # re-measured after the pipeline optimizations: B=1 10.4-11.2k,
+# B=2 13.4k, B=4 14.3k, B=8 14.3k shapes/hour — the early "batching is
+# worse" result predated the pallas mean-shift + fused pipeline
 WARMUP = 2  # batches
 ITERS = 8   # batches (BATCH * ITERS shapes timed)
 
