@@ -47,18 +47,39 @@ def main():
                     if_train_data=False)
     key = jax.random.PRNGKey(cfg.seed)
     seg_ids, pred_prims, sious, pious = [], [], [], []
+
+    # vmapped batch-4 inference: ~29% faster per shape than one-at-a-time on
+    # a v5e chip (same measurement as bench.py); the tail batch is padded by
+    # repetition and the padded results dropped
+    B = 4
+    batched = jax.jit(jax.vmap(
+        lambda x, lab, pr, k: predict_segmentation(apply_fn, x, lab, pr, k)))
+
+    def flush(buf, base_idx):
+        n = len(buf)
+        while len(buf) < B:
+            buf.append(buf[-1])
+        xs, labs, prims, keys = map(jnp.asarray, zip(*buf))
+        pred = batched(xs, labs, prims, keys)
+        for j in range(n):
+            seg_ids.append(np.asarray(pred.labels[j]))
+            pred_prims.append(np.asarray(pred.pred_prim[j]))
+            sious.append(float(pred.seg_iou[j]))
+            pious.append(float(pred.prim_iou[j]))
+            log.info("shape %d: seg iou %.4f prim iou %.4f clusters %d",
+                     base_idx + j, sious[-1], pious[-1],
+                     int(pred.num_clusters[j]))
+
+    buf, base = [], 0
     for i, (points, labels, normals, prim) in enumerate(ds.get_test()):
         x = np.concatenate([points, normals], -1) if with_normals else points
         key, sub = jax.random.split(key)
-        pred = predict_segmentation(apply_fn, jnp.asarray(x[0]),
-                                    jnp.asarray(labels[0]),
-                                    jnp.asarray(prim[0]), sub)
-        seg_ids.append(np.asarray(pred.labels))
-        pred_prims.append(np.asarray(pred.pred_prim))
-        sious.append(float(pred.seg_iou))
-        pious.append(float(pred.prim_iou))
-        log.info("shape %d: seg iou %.4f prim iou %.4f clusters %d", i,
-                 sious[-1], pious[-1], int(pred.num_clusters))
+        buf.append((x[0].astype(np.float32), labels[0], prim[0], sub))
+        if len(buf) == B:
+            flush(buf, base)
+            buf, base = [], i + 1
+    if buf:
+        flush(buf, base)
     log.info("MEAN seg iou %.4f prim iou %.4f", np.mean(sious), np.mean(pious))
     with h5py.File(out_path, "w") as hf:
         hf.create_dataset("seg_id", data=np.stack(seg_ids))
