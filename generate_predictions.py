@@ -42,7 +42,8 @@ def main():
     params = restored["params"]
     apply_fn = jax.jit(lambda x: model.apply({"params": params}, x))
 
-    ds = ABCDataset(1, train_size=0, val_size=cfg.num_val,
+    ds = ABCDataset(1, path_prefix=cfg.dataset or "data/shapes/",
+                    train_size=0, val_size=cfg.num_val,
                     test_size=cfg.num_test, normals=True, primitives=True,
                     if_train_data=False)
     key = jax.random.PRNGKey(cfg.seed)

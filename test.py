@@ -35,7 +35,8 @@ def main():
     start = int(args[1]) if len(args) > 1 else 0
     end = int(args[2]) if len(args) > 2 else cfg.num_test
     log = setup_logging(cfg.log_dir, "test")
-    ds = ABCDataset(1, train_size=0, val_size=cfg.num_val,
+    ds = ABCDataset(1, path_prefix=cfg.dataset or "data/shapes/",
+                    train_size=0, val_size=cfg.num_val,
                     test_size=cfg.num_test, normals=True, primitives=True,
                     if_train_data=False)
     with h5py.File("logs/predictions.h5", "r") as hf:
