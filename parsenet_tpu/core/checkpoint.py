@@ -73,6 +73,41 @@ class Checkpointer:
         self.mngr.wait_until_finished()
 
 
+def flatten_tree(tree: dict, prefix: str = "") -> dict:
+    """Nested dict of arrays -> flat {'a/b/c': array} dict."""
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(flatten_tree(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def unflatten_tree(flat: dict) -> dict:
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def load_npz_params(path: str) -> Optional[dict]:
+    """Load a committed npz export (scripts/export_params.py) back into the
+    nested {params[, batch_stats]} tree with float32 leaves. None when the
+    file does not exist — callers fall back to checkpoints / random init."""
+    import numpy as np
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        flat = {k: np.asarray(z[k], np.float32) for k in z.files}
+    return unflatten_tree(flat)
+
+
 class PlateauScheduler:
     """Host-side ReduceLROnPlateau (torch semantics, mode=min):
     if the monitored metric does not improve for `patience` epochs, scale the

@@ -38,8 +38,10 @@ from ..ops.segmentation import (K_MAX, primitive_type_per_segment,
                                 siou_matched_segments, to_one_hot)
 
 EVAL_SPLINE_SLOTS = 12
-SPLINE_PTS = 1536  # reference upsamples into [1000,1800]
-SURF_GRID = 64     # per-primitive sample grid (64^2 = 4096 samples)
+SPLINE_PTS = 1536   # legacy with-replacement path (eval_preprocess=False)
+CLOSED_PTS = 1800   # reference eval upsample target for closed splines
+OPEN_PTS = 1500     # ... and for open splines (primitive_forward.py:996,1035)
+SURF_GRID = 64      # per-primitive sample grid (64^2 = 4096 samples)
 
 
 class SegmentationPrediction(NamedTuple):
@@ -119,17 +121,24 @@ def _sample_segment_points(points: jnp.ndarray, labels: jnp.ndarray,
     return points[order[jnp.clip(pos, 0, n - 1)]]
 
 
-@functools.partial(jax.jit, static_argnames=("spline_fit", "max_spline_slots"))
+@functools.partial(jax.jit, static_argnames=("spline_fit", "max_spline_slots",
+                                             "eval_preprocess"))
 def reconstruct_shape(points: jnp.ndarray, normals: jnp.ndarray,
                       pred_labels: jnp.ndarray, pred_prim: jnp.ndarray,
                       key: jax.Array, spline_fit: Optional[Callable] = None,
-                      max_spline_slots: int = EVAL_SPLINE_SLOTS
-                      ) -> Reconstruction:
+                      max_spline_slots: int = EVAL_SPLINE_SLOTS,
+                      eval_preprocess: bool = True) -> Reconstruction:
     """Eval-mode fitting of one clustered shape.
 
     points/normals: [N, 3]; pred_labels: [N] cluster ids; pred_prim: [N]
     per-point predicted types. Mirrors residual_eval_mode: hard one-hot
     weights, per-segment type = weighted vote, all segments fitted.
+
+    eval_preprocess=True (default) applies the reference's eval-mode spline
+    preprocessing inside the jitted program: statistical outlier removal +
+    NN-centroid upsampling to 1800/1500 points per segment
+    (primitive_forward.py:986-1036 via ops.preprocess). False keeps the
+    round-1 with-replacement sampling (faster, for A/B comparisons).
     """
     N = points.shape[0]
     oh = to_one_hot(pred_labels)                      # [N, K]
@@ -181,14 +190,28 @@ def reconstruct_shape(points: jnp.ndarray, normals: jnp.ndarray,
     area_w = jax.vmap(_area_weights)(geom_surf)            # [K, G^2]
     if spline_fit is not None:
         keys = jax.random.split(key, max_spline_slots)
-        pts_s = jax.vmap(lambda seg, kk: _sample_segment_points(
-            points, pred_labels, seg, SPLINE_PTS, kk))(slot_seg, keys)
-        if hasattr(spline_fit, "batched"):
+        is_closed_slot = seg_type10[slot_seg] == 9
+        if eval_preprocess and hasattr(spline_fit, "batched_eval"):
+            # reference eval preprocessing: outlier removal + NN-centroid
+            # upsample to exactly 1800 (closed) / 1500 (open) points
+            from ..ops.preprocess import eval_segment_points
+            a_max = jnp.where(is_closed_slot, CLOSED_PTS, OPEN_PTS)
+            pts_s = jax.vmap(
+                lambda seg, am, kk: eval_segment_points(
+                    points, pred_labels == seg, am, kk, n_out=CLOSED_PTS)
+            )(slot_seg, a_max, keys)
+            spline_surf = spline_fit.batched_eval(pts_s, is_closed_slot)
+        elif hasattr(spline_fit, "batched"):
+            pts_s = jax.vmap(lambda seg, kk: _sample_segment_points(
+                points, pred_labels, seg, SPLINE_PTS, kk))(slot_seg, keys)
             # all slots through both decoders at once (fills the chip)
             spline_surf = spline_fit.batched(
                 pts_s, jnp.ones((max_spline_slots, SPLINE_PTS)),
-                seg_type10[slot_seg] == 9)
+                is_closed_slot)
         else:
+            pts_s = jax.vmap(lambda seg, kk: _sample_segment_points(
+                points, pred_labels, seg, SPLINE_PTS, kk))(slot_seg, keys)
+
             def run_slot(args):
                 pts, seg = args
                 return spline_fit(pts, jnp.ones((SPLINE_PTS,)),

@@ -143,7 +143,31 @@ def make_spline_apply(open_model, open_vars, closed_model, closed_vars,
         surf = jnp.where(is_closed_s[:, None, None], surf_c, surf_o)
         return jax.vmap(unstandardize_points)(surf, sts)
 
+    def spline_fit_batched_eval(pts1800, is_closed_s):
+        """Eval-mode slots with the reference's per-type point counts:
+        pts1800 [S, 1800, 3] preprocessed segment points (ops.preprocess);
+        open decoders consume the first 1500 rows, closed all 1800
+        (reference upsample targets, primitive_forward.py:996,1035).
+        Weights are all ones at eval (hard memberships)."""
+        S = pts1800.shape[0]
+        pts_open = pts1800[:, :1500]
+        w_o = jnp.ones((S, pts_open.shape[1]))
+        w_c = jnp.ones((S, pts1800.shape[1]))
+        sts_o = jax.vmap(standardize_points)(pts_open, w_o)
+        cp_o = open_model.apply(open_vars, sts_o.points, weights=w_o,
+                                train=False)
+        surf_o = sample_surface(nu, nv, cp_o.reshape(-1, grid, grid, 3))
+        surf_o = jax.vmap(unstandardize_points)(surf_o, sts_o)
+        sts_c = jax.vmap(standardize_points)(pts1800, w_c)
+        cp_c = closed_model.apply(closed_vars, sts_c.points, weights=w_c,
+                                  train=False)
+        cp_c = close_control_grid(cp_c.reshape(-1, grid, grid, 3))
+        surf_c = sample_surface(nu_c, nv_c, cp_c)
+        surf_c = jax.vmap(unstandardize_points)(surf_c, sts_c)
+        return jnp.where(is_closed_s[:, None, None], surf_c, surf_o)
+
     spline_fit.batched = spline_fit_batched
+    spline_fit.batched_eval = spline_fit_batched_eval
     return spline_fit
 
 

@@ -90,19 +90,22 @@ def chamfer_distance_one_side(x: jnp.ndarray, y: jnp.ndarray,
                               sqrt: bool = False, chunk: int = 0) -> jnp.ndarray:
     """One-sided chamfer (reference: src/utils.py:299-323).
 
-    side=1: for each x find nearest y (prediction covers gt).
-    side=2: for each y find nearest x.
+    Reference semantics (x = prediction, y = gt):
+    side=1: for each y (gt) point, distance to its nearest x — "the
+            prediction covers the gt" (the spline training loss direction,
+            src/loss.py:170 + src/utils.py:318-321).
+    side=0: for each x, distance to its nearest y.
     """
     if x_mask is None:
         x_mask = jnp.ones(x.shape[:2], x.dtype)
     if y_mask is None:
         y_mask = jnp.ones(y.shape[:2], y.dtype)
     if side == 1:
-        d = min_sqdist(x, y, y_mask, chunk)
-        w = x_mask
-    else:
         d = min_sqdist(y, x, x_mask, chunk)
         w = y_mask
+    else:
+        d = min_sqdist(x, y, y_mask, chunk)
+        w = x_mask
     if sqrt:
         d = jnp.sqrt(jnp.clip(d, min=1e-10))
     return jnp.mean(jnp.sum(d * w, -1) / (jnp.sum(w, -1) + 1e-8))

@@ -67,10 +67,24 @@ def build_spline_fit(grid: int = 20, sample_grid: int = 30,
         closed_vars = load_splinenet_variables(log_dir, "closed_splinenet",
                                                grid, closed=True)
         if open_vars is None or closed_vars is None:
-            log.warning("no pretrained SplineNet checkpoints under %s; "
-                        "falling back to random decoders", log_dir)
+            open_vars = closed_vars = None
+    if open_vars is None and grid == 20:
+        # committed trained exports (scripts/export_params.py) — keeps
+        # bench.py and fresh clones on trained decoders without retraining
+        import os
+        from ..core.checkpoint import load_npz_params
+        root = os.path.join(os.path.dirname(__file__), "..", "..")
+        open_vars = load_npz_params(os.path.join(root, "params",
+                                                 "open_splinenet.npz"))
+        closed_vars = load_npz_params(os.path.join(root, "params",
+                                                   "closed_splinenet.npz"))
+        if open_vars is not None and closed_vars is not None:
+            log.info("loaded SplineNet decoders from committed params/ npz")
+        else:
             open_vars = closed_vars = None
     if open_vars is None:
+        log.warning("no pretrained SplineNet weights found; "
+                    "falling back to random decoders")
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         dummy = jnp.zeros((1, 128, 3))
         open_vars = open_model.init(rng, dummy, train=False)
@@ -85,7 +99,10 @@ def build_spline_fit(grid: int = 20, sample_grid: int = 30,
 def make_e2e_step(model: PrimitivesEmbedding, spline_fit,
                   quantile: float = 0.025, iterations: int = 5,
                   lamb: float = 0.1, ms_num_samples: int = 2048,
-                  with_normals: bool = True):
+                  with_normals: bool = True, num_accum: int = 1):
+    """num_accum > 1 accumulates gradients over micro-batches inside the
+    jitted step via lax.scan (the reference loops .backward() five times,
+    train_parsenet_e2e.py:174-294); inputs then carry a leading [A] axis."""
     def loss_fn(params, x, labels, prim, key):
         # x: [B, N, C]; per-shape fitting loss vmapped over the batch
         emb, prim_logp = model.apply({"params": params}, x)
@@ -116,8 +133,30 @@ def make_e2e_step(model: PrimitivesEmbedding, spline_fit,
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, x, labels, prim, key, lr):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, x, labels, prim, key)
+        if num_accum > 1:
+            # x/labels/prim: [A, B, ...] micro-batches
+            keys = jax.random.split(key, num_accum)
+
+            def micro(carry, xs):
+                g_acc, m_acc = carry
+                xm, lm, pm, km = xs
+                (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, xm, lm, pm, km)
+                return (jax.tree_util.tree_map(jnp.add, g_acc, g),
+                        jax.tree_util.tree_map(jnp.add, m_acc, m)), None
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            zero_m = {k: jnp.float32(0.0) for k in
+                      ("embed_loss", "prim_loss", "res_loss", "geom_loss",
+                       "spline_loss", "seg_iou", "prim_iou", "clusters")}
+            (grads, metrics), _ = jax.lax.scan(
+                micro, (zero_g, zero_m), (x, labels, prim, keys))
+            inv = 1.0 / num_accum
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)
+        else:
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, x, labels, prim, key)
         ok = grad_finite(grads)
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
@@ -144,8 +183,10 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
     from ..data.abc import ABCDataset
 
     mesh = make_mesh(config.num_devices)
+    num_accum = max(config.accum, 1)
     if train_gen is None:
-        ds = ABCDataset(config.batch_size, train_size=config.num_train,
+        ds = ABCDataset(config.batch_size * num_accum,
+                        train_size=config.num_train,
                         val_size=config.num_val, test_size=config.num_test,
                         normals=True, primitives=True)
         train_gen = ds.get_train(if_normal_noise=True)
@@ -179,8 +220,10 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
     spline_fit = build_spline_fit(config.grid_size, open_vars=open_vars,
                                   closed_vars=closed_vars,
                                   log_dir=config.log_dir)
+    num_accum = max(config.accum, 1)  # reference e2e accumulates 5 steps
     train_step, eval_step = make_e2e_step(model, spline_fit, lamb=lamb,
-                                          with_normals=with_normals)
+                                          with_normals=with_normals,
+                                          num_accum=num_accum)
     ckpt = Checkpointer(f"{config.log_dir}/checkpoints/{config.model_path}")
     host_rng = np.random.RandomState(config.seed + 1)
     key = jax.random.PRNGKey(config.seed + 3)
@@ -199,11 +242,22 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
                                   replace=False)
             x = np.concatenate([points[:, sel], normals[:, sel]], -1) \
                 if with_normals else points[:, sel]
+            lab, pr = labels[:, sel], prim[:, sel]
             key, sub = jax.random.split(key)
-            bsh = batch_sharding(mesh)
+            if num_accum > 1:
+                # [A*B, ...] -> [A, B, ...] micro-batches; shard the B axis
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from ..parallel.mesh import DATA_AXIS
+                A, B = num_accum, x.shape[0] // num_accum
+                x = x.reshape(A, B, *x.shape[1:])
+                lab = lab.reshape(A, B, -1)
+                pr = pr.reshape(A, B, -1)
+                bsh = NamedSharding(mesh, P(None, DATA_AXIS))
+            else:
+                bsh = batch_sharding(mesh)
             state, metrics = train_step(state, jax.device_put(x, bsh),
-                                        jax.device_put(labels[:, sel], bsh),
-                                        jax.device_put(prim[:, sel], bsh),
+                                        jax.device_put(lab, bsh),
+                                        jax.device_put(pr, bsh),
                                         sub, jnp.float32(lr))
             agg.append(metrics)
             step = int(state.step)

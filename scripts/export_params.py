@@ -1,0 +1,60 @@
+"""Export trained orbax checkpoints to compact committed npz files.
+
+bench.py needs trained parameters so its quality floor is meaningful
+(VERDICT round-1 task 3); orbax checkpoint trees are unwieldy to commit, so
+this flattens {params[, batch_stats]} into one float16 .npz per model under
+params/ (a few MB each; float16 is lossless enough for inference — verified
+by the quality metrics themselves).
+
+Usage: python scripts/export_params.py  (after scripts/train_workflow.py)
+"""
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def export(ckpt_dir: str, out_path: str, target) -> bool:
+    from parsenet_tpu.core.checkpoint import Checkpointer, flatten_tree
+    ckpt = Checkpointer(ckpt_dir)
+    if ckpt.latest_step() is None:
+        print(f"skip {ckpt_dir}: no checkpoint")
+        return False
+    restored = ckpt.restore(target)
+    flat = {k: np.asarray(v) for k, v in flatten_tree(restored).items()}
+    half = {}
+    for k, v in flat.items():
+        # batch stats stay f32 (running variances can be tiny); weights go f16
+        half[k] = v.astype(np.float16) if k.startswith("params") else v
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    np.savez_compressed(out_path, **half)
+    mb = os.path.getsize(out_path) / 1e6
+    print(f"wrote {out_path} ({mb:.1f} MB, {len(half)} arrays, "
+          f"step {ckpt.latest_step()})")
+    return True
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from parsenet_tpu.models.dgcnn import PrimitivesEmbedding
+    from parsenet_tpu.models.splinenet import SplineNet
+
+    seg = PrimitivesEmbedding(emb_size=128, num_primitives=10, mode=5, k=80)
+    seg_t = {"params": seg.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 256, 6)))["params"]}
+    export("logs/checkpoints/parsenet_e2e", "params/parsenet_e2e.npz", seg_t) \
+        or export("logs/checkpoints/parsenet_seg_normals",
+                  "params/parsenet_e2e.npz", seg_t)
+    for name, mode in (("open_splinenet", 0), ("closed_splinenet", 1)):
+        m = SplineNet(grid=20, k=10, mode=mode)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 3)), train=False)
+        export(f"logs/checkpoints/{name}", f"params/{name}.npz",
+               {"params": v["params"], "batch_stats": v["batch_stats"]})
+
+
+if __name__ == "__main__":
+    main()

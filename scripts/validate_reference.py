@@ -1,0 +1,142 @@
+"""Drop-in real-ABC validation harness (VERDICT round-1 task 7).
+
+Reproduces the reference's full two-stage evaluation protocol
+(generate_predictions.py:108-165 then test.py:108-168) over whatever
+`data/shapes/test_data.h5` currently holds — synthetic stand-ins today, the
+real ABC h5s the moment they land (same schema, see DATA.md) — and prints a
+parity table against expected reference metrics with a 1% tolerance verdict
+per row (BASELINE.md "within 1% of PyTorch reference").
+
+Expected metrics come from a JSON file (--expected); the checked-in default
+`scripts/expected_reference_metrics.json` carries the synthetic-run values
+from RESULTS.md as placeholders and documents the column meanings. When real
+ABC data + the paper/reference-run numbers are available, update that JSON —
+no code changes needed.
+
+Columns:
+  seg_iou   Hungarian-matched relaxed segment IoU (segment_utils.py:139-242)
+  prim_iou  primitive-type accuracy over matched segments
+  residual  mean sqrt point-to-own-surface distance (primitives.py:36-44)
+  cov       two-sided sqrt chamfer input <-> predicted surfaces (test.py:157+)
+  sk_1      fraction of input points within 0.01 of a predicted surface
+  sk_2      ... within 0.02
+
+Usage:
+  python scripts/validate_reference.py configs/config_eval_final.yml \
+      [--num-shapes N] [--expected scripts/expected_reference_metrics.json] \
+      [--no-preprocess]
+"""
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/jax_tpu_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config", nargs="?", default="configs/config_eval_final.yml")
+    ap.add_argument("--num-shapes", type=int, default=0,
+                    help="cap on test shapes (0 = config.num_test)")
+    ap.add_argument("--expected",
+                    default=os.path.join(REPO, "scripts",
+                                         "expected_reference_metrics.json"))
+    ap.add_argument("--no-preprocess", action="store_true",
+                    help="disable eval-mode outlier removal + upsampling")
+    ap.add_argument("--tolerance", type=float, default=0.01)
+    args = ap.parse_args()
+
+    from parsenet_tpu.core.checkpoint import Checkpointer
+    from parsenet_tpu.core.config import load_config
+    from parsenet_tpu.data.abc import ABCDataset
+    from parsenet_tpu.eval.pipeline import (predict_segmentation,
+                                            reconstruct_shape)
+    from parsenet_tpu.models.dgcnn import PrimitivesEmbedding
+    from parsenet_tpu.train.train_e2e import build_spline_fit
+
+    cfg = load_config(args.config)
+    with_normals = cfg.mode == 5
+    model = PrimitivesEmbedding(emb_size=128, num_primitives=10,
+                                mode=5 if with_normals else 0, k=cfg.knn_k)
+    ckpt = Checkpointer(f"{cfg.log_dir}/checkpoints/{cfg.model_path}")
+    cdim = 6 if with_normals else 3
+    target = {"params": model.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 256, cdim)))["params"]}
+    restored = ckpt.restore(target)
+    if restored is None:
+        raise SystemExit(f"no checkpoint under {cfg.log_dir}/checkpoints/"
+                         f"{cfg.model_path}; train first (scripts/"
+                         "train_workflow.py)")
+    params = restored["params"]
+    apply_fn = jax.jit(lambda x: model.apply({"params": params}, x))
+    spline_fit = build_spline_fit(cfg.grid_size, log_dir=cfg.log_dir)
+
+    ds = ABCDataset(1, path_prefix=cfg.dataset or "data/shapes/",
+                    train_size=0, val_size=cfg.num_val,
+                    test_size=cfg.num_test, normals=True, primitives=True,
+                    if_train_data=False)
+    n_max = args.num_shapes or cfg.num_test
+    key = jax.random.PRNGKey(cfg.seed)
+
+    agg = {k: [] for k in ("seg_iou", "prim_iou", "residual", "cov",
+                           "sk_1", "sk_2")}
+    for i, (points, labels, normals, prim) in enumerate(ds.get_test()):
+        if i >= n_max:
+            break
+        x = np.concatenate([points, normals], -1) if with_normals else points
+        key, k1, k2 = jax.random.split(key, 3)
+        pred = predict_segmentation(apply_fn, jnp.asarray(x[0], jnp.float32),
+                                    jnp.asarray(labels[0]),
+                                    jnp.asarray(prim[0]), k1)
+        rec = reconstruct_shape(jnp.asarray(points[0]),
+                                jnp.asarray(normals[0]), pred.labels,
+                                pred.pred_prim, k2, spline_fit=spline_fit,
+                                eval_preprocess=not args.no_preprocess)
+        agg["seg_iou"].append(float(pred.seg_iou))
+        agg["prim_iou"].append(float(pred.prim_iou))
+        agg["residual"].append(float(rec.residual))
+        agg["cov"].append(float(rec.p_cov))
+        agg["sk_1"].append(float(rec.sk_1))
+        agg["sk_2"].append(float(rec.sk_2))
+        print(f"shape {i}: seg_iou {agg['seg_iou'][-1]:.4f} "
+              f"residual {agg['residual'][-1]:.4f} sk1 {agg['sk_1'][-1]:.3f}",
+              flush=True)
+
+    with open(args.expected) as f:
+        expected = json.load(f)
+    meta = expected.get("_meta", {})
+    print(f"\n=== parity vs {meta.get('source', args.expected)} "
+          f"(tolerance {args.tolerance:.0%}; higher_is_better per column) ===")
+    print(f"{'metric':<10} {'measured':>10} {'expected':>10} {'ratio':>8}  verdict")
+    rows = []
+    for k in ("seg_iou", "prim_iou", "residual", "cov", "sk_1", "sk_2"):
+        got = float(np.mean(agg[k]))
+        exp = expected.get(k)
+        if exp is None:
+            print(f"{k:<10} {got:>10.4f} {'—':>10}        —  (no target)")
+            rows.append({"metric": k, "measured": got})
+            continue
+        hib = k not in ("residual", "cov")
+        ratio = got / exp if exp else float("inf")
+        ok = (ratio >= 1 - args.tolerance) if hib else (ratio <= 1 + args.tolerance)
+        print(f"{k:<10} {got:>10.4f} {exp:>10.4f} {ratio:>8.3f}  "
+              f"{'PASS' if ok else 'FAIL'}")
+        rows.append({"metric": k, "measured": got, "expected": exp,
+                     "pass": bool(ok)})
+    print(json.dumps({"n_shapes": len(agg["seg_iou"]), "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,7 @@ def main():
     spline_fit = build_spline_fit(cfg.grid_size, log_dir=cfg.log_dir)
     key = jax.random.PRNGKey(cfg.seed)
     res, cov, sk1, sk2 = [], [], [], []
+    render_shapes = []
     for i, (points, labels, normals, prim) in enumerate(ds.get_test()):
         if i < start:
             continue
@@ -106,8 +107,41 @@ def main():
         sk1.append(s1); sk2.append(s2)
         log.info("shape %d residual %.4f cov %.4f sk1 %.3f sk2 %.3f", i,
                  res[-1], cov[-1], sk1[-1], sk2[-1])
+        if len(render_shapes) < 8:
+            render_shapes.append(_trimmed_segment_meshes(rec, points[0],
+                                                         seg_ids[i]))
     log.info("MEAN residual %.4f chamfer-cov %.4f sk1 %.3f sk2 %.3f",
              np.mean(res), np.mean(cov), np.mean(sk1), np.mean(sk2))
+    # rendered grid of reconstructions — the offline equivalent of the
+    # reference's Open3D screenshot pipelines (src/VisUtils.py:246-400)
+    from parsenet_tpu.postprocess.viz import render_reconstruction_grid
+    if render_shapes and render_reconstruction_grid(
+            "logs/reconstructions_grid.png", render_shapes):
+        log.info("wrote logs/reconstructions_grid.png")
+
+
+def _trimmed_segment_meshes(rec, points, labels, epsilon: float = 0.1):
+    """Per-segment eps-trimmed surface meshes for rendering (the reference
+    trims triangles farther than eps from the input, fitting_utils.py:
+    646-691)."""
+    from parsenet_tpu.postprocess.meshing import (remove_unreferenced,
+                                                  tessellate_grid,
+                                                  trim_mesh_by_distance)
+    segs = []
+    surf = np.asarray(rec.surface_points)
+    mask = np.asarray(rec.surface_mask).astype(bool)
+    g = int(round(surf.shape[1] ** 0.5))
+    for k in np.where(mask)[0]:
+        seg_pts = points[labels == k]
+        if len(seg_pts) < 20:
+            continue
+        v, t = tessellate_grid(surf[k], g, g)
+        t = trim_mesh_by_distance(v, t, seg_pts, epsilon)
+        if len(t) == 0:
+            continue
+        v, t = remove_unreferenced(v, t)
+        segs.append((v, t, int(k)))
+    return segs
 
 
 if __name__ == "__main__":

@@ -101,6 +101,33 @@ class TestViz:
         back = np.loadtxt(tmp_path / "p.xyz")
         np.testing.assert_allclose(back, pts, atol=1e-5)
 
+    def test_render_meshes_png(self, tmp_path):
+        """Offline screenshot equivalent (reference VisUtils.py:246-400)."""
+        from parsenet_tpu.postprocess import viz
+        from parsenet_tpu.postprocess.meshing import tessellate_grid
+        u = np.linspace(0, np.pi, 12)
+        v = np.linspace(0, 2 * np.pi, 12)
+        uu, vv = np.meshgrid(u, v, indexing="ij")
+        sphere = np.stack([np.sin(uu) * np.cos(vv), np.sin(uu) * np.sin(vv),
+                           np.cos(uu)], -1).reshape(-1, 3)
+        verts, tris = tessellate_grid(sphere, 12, 12)
+        p = tmp_path / "mesh.png"
+        ok = viz.render_meshes_png(str(p), [(verts, tris, (0.8, 0.5, 0.4))])
+        assert ok and p.exists() and p.stat().st_size > 1000
+
+    def test_render_reconstruction_grid(self, tmp_path):
+        from parsenet_tpu.postprocess import viz
+        from parsenet_tpu.postprocess.meshing import tessellate_grid
+        uu, vv = np.meshgrid(np.linspace(0, 1, 6), np.linspace(0, 1, 6),
+                             indexing="ij")
+        g = np.stack([uu, vv, np.zeros((6, 6))], -1).reshape(-1, 3)
+        verts, tris = tessellate_grid(g, 6, 6)
+        shapes = [[(verts, tris, 0), (verts + 0.2, tris, 1)],
+                  [(verts, tris, 2)]]
+        p = tmp_path / "grid.png"
+        assert viz.render_reconstruction_grid(str(p), shapes)
+        assert p.exists() and p.stat().st_size > 1000
+
 
 class TestSaveParams:
     def test_roundtrip_and_export(self, tmp_path, rng):

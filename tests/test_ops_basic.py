@@ -87,10 +87,14 @@ class TestChamfer:
     def test_one_sided(self, rng):
         x = rng.randn(1, 16, 3).astype(np.float32)
         y = rng.randn(1, 16, 3).astype(np.float32)
+        # side=1 is the reference direction: per-GT(y) min over predictions
         d1 = float(chamfer_ops.chamfer_distance_one_side(
             jnp.asarray(x), jnp.asarray(y), side=1))
         d = ((x[0][:, None] - y[0][None]) ** 2).sum(-1)
-        np.testing.assert_allclose(d1, d.min(1).mean(), rtol=1e-4)
+        np.testing.assert_allclose(d1, d.min(0).mean(), rtol=1e-4)
+        d0 = float(chamfer_ops.chamfer_distance_one_side(
+            jnp.asarray(x), jnp.asarray(y), side=0))
+        np.testing.assert_allclose(d0, d.min(1).mean(), rtol=1e-4)
 
 
 class TestBSpline:
