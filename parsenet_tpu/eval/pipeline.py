@@ -55,12 +55,13 @@ class SegmentationPrediction(NamedTuple):
 
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("quantile", "iterations",
-                                    "ms_num_samples"))
+                                    "ms_num_samples", "ms_bf16"))
 def predict_segmentation(apply_fn: Callable, x: jnp.ndarray,
                          gt_labels: jnp.ndarray, gt_prim: jnp.ndarray,
                          key: jax.Array, quantile: float = 0.015,
                          iterations: int = 50,
-                         ms_num_samples: int = 5000) -> SegmentationPrediction:
+                         ms_num_samples: int = 5000,
+                         ms_bf16: bool = False) -> SegmentationPrediction:
     """One shape. apply_fn(x[None]) -> (embedding [1,N,D], prim_logp [1,N,C])."""
     from ..ops.pallas_kernels import pallas_available
     emb, prim_logp = apply_fn(x[None])
@@ -74,7 +75,8 @@ def predict_segmentation(apply_fn: Callable, x: jnp.ndarray,
     ms = guard_mean_shift(embn, quantile, key=key,
                           num_samples=ms_num_samples, iterations=iterations,
                           use_pallas=pallas_available(),
-                          attempt_iterations=min(10, iterations))
+                          attempt_iterations=min(10, iterations),
+                          pallas_bf16=ms_bf16)
     w = to_one_hot(ms.labels)
     seg_iou, prim_iou = siou_matched_segments(gt_labels, ms.labels,
                                               pred_prim, gt_prim, w)

@@ -123,14 +123,16 @@ def nms(shifted: jnp.ndarray, X: jnp.ndarray, bandwidth: jnp.ndarray):
 @functools.partial(jax.jit, static_argnames=("num_samples", "iterations",
                                              "kernel", "max_clusters",
                                              "max_doublings", "use_pallas",
-                                             "attempt_iterations"))
+                                             "attempt_iterations",
+                                             "pallas_bf16"))
 def guard_mean_shift(X: jnp.ndarray, quantile: float,
                      key: Optional[jax.Array] = None,
                      num_samples: int = 5000, iterations: int = 10,
                      kernel: str = "gaussian", max_clusters: int = 49,
                      max_doublings: int = 8,
                      use_pallas: bool = False,
-                     attempt_iterations: Optional[int] = None) -> MeanShiftResult:
+                     attempt_iterations: Optional[int] = None,
+                     pallas_bf16: bool = False) -> MeanShiftResult:
     """Mean-shift with bandwidth escalation until <= max_clusters clusters
     (reference: src/mean_shift.py:81-96). Bounded while_loop, one compile.
 
@@ -151,7 +153,8 @@ def guard_mean_shift(X: jnp.ndarray, quantile: float,
     if use_pallas and kernel == "gaussian":
         # fused flash-style TPU kernel (forward-only; inference path)
         from .pallas_kernels import mean_shift_iterations_pallas
-        shift_fn = lambda xx, bw, it: mean_shift_iterations_pallas(xx, bw, it)
+        shift_fn = lambda xx, bw, it: mean_shift_iterations_pallas(
+            xx, bw, it, bf16_dots=pallas_bf16)
     else:
         shift_fn = lambda xx, bw, it: mean_shift_iterations(xx, bw, it, kernel)
 

@@ -104,47 +104,68 @@ def mean_shift_step_pallas(m: jnp.ndarray, x: jnp.ndarray,
     return out[:n, :d]
 
 
-def _ms_multi_kernel(scalar_ref, m_ref, x_ref, out_ref):
+def _make_ms_multi_kernel(bf16_dots: bool):
     """ALL mean-shift iterations for one ROW_TILE block, fully in VMEM.
 
     Each shifted point's trajectory depends only on its own state and the
     (fixed) cloud X, so row tiles iterate independently: the m tile never
     round-trips through HBM between iterations.
     scalar_ref (VMEM [1, 128]): [inv2b2, n_valid, iterations, ...].
+
+    bf16_dots casts the matmul OPERANDS to bf16 (f32 accumulation on the
+    MXU): ~4x matmul throughput. The shift map is contractive toward the
+    cluster modes, so the reduced operand precision perturbs trajectories
+    without moving the fixed points; callers must validate labels match the
+    f32 path for their data (the bench does).
     """
-    inv2b2 = scalar_ref[0, 0]
-    n_valid = scalar_ref[0, 1].astype(jnp.int32)
-    iterations = scalar_ref[0, 2].astype(jnp.int32)
-    n_pad = x_ref.shape[0]
-    tm, d = m_ref.shape
+    dot_t = jnp.bfloat16 if bf16_dots else jnp.float32
 
-    def one_iter(_, m):
-        def body(j, carry):
-            acc, rs = carry
-            xj = x_ref[pl.ds(j * COL_TILE, COL_TILE), :]
-            s = jnp.dot(m, xj.T, preferred_element_type=jnp.float32)
-            k = jnp.exp((2.0 * s - 2.0) * inv2b2)
-            col = (j * COL_TILE
-                   + lax.broadcasted_iota(jnp.int32, (1, COL_TILE), 1))
-            k = jnp.where(col < n_valid, k, 0.0)
-            acc = acc + jnp.dot(k, xj, preferred_element_type=jnp.float32)
-            rs = rs + jnp.sum(k, axis=1, keepdims=True)
-            return acc, rs
+    def kernel(scalar_ref, m_ref, x_ref, out_ref):
+        inv2b2 = scalar_ref[0, 0]
+        n_valid = scalar_ref[0, 1].astype(jnp.int32)
+        iterations = scalar_ref[0, 2].astype(jnp.int32)
+        n_pad = x_ref.shape[0]
+        tm, d = m_ref.shape
 
-        acc0 = jnp.zeros((tm, d), jnp.float32)
-        rs0 = jnp.zeros((tm, 1), jnp.float32)
-        acc, rs = lax.fori_loop(0, n_pad // COL_TILE, body, (acc0, rs0))
-        new_m = acc / (rs + 1e-12)
-        norm = jnp.sqrt(jnp.sum(new_m * new_m, axis=1, keepdims=True))
-        return new_m / (norm + 1e-12)
+        def one_iter(_, m):
+            md = m.astype(dot_t)
 
-    out_ref[:] = lax.fori_loop(0, iterations, one_iter, m_ref[:])
+            def body(j, carry):
+                acc, rs = carry
+                xj = x_ref[pl.ds(j * COL_TILE, COL_TILE), :]
+                xjd = xj.astype(dot_t)
+                s = jnp.dot(md, xjd.T, preferred_element_type=jnp.float32)
+                k = jnp.exp((2.0 * s - 2.0) * inv2b2)
+                col = (j * COL_TILE
+                       + lax.broadcasted_iota(jnp.int32, (1, COL_TILE), 1))
+                k = jnp.where(col < n_valid, k, 0.0)
+                acc = acc + jnp.dot(k.astype(dot_t), xjd,
+                                    preferred_element_type=jnp.float32)
+                rs = rs + jnp.sum(k, axis=1, keepdims=True)
+                return acc, rs
+
+            acc0 = jnp.zeros((tm, d), jnp.float32)
+            rs0 = jnp.zeros((tm, 1), jnp.float32)
+            acc, rs = lax.fori_loop(0, n_pad // COL_TILE, body, (acc0, rs0))
+            new_m = acc / (rs + 1e-12)
+            norm = jnp.sqrt(jnp.sum(new_m * new_m, axis=1, keepdims=True))
+            return new_m / (norm + 1e-12)
+
+        out_ref[:] = lax.fori_loop(0, iterations, one_iter, m_ref[:])
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "interpret"))
+_ms_multi_kernel = _make_ms_multi_kernel(False)
+_ms_multi_kernel_bf16 = _make_ms_multi_kernel(True)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "interpret",
+                                             "bf16_dots"))
 def mean_shift_iterations_pallas(X: jnp.ndarray, bandwidth: jnp.ndarray,
                                  iterations: int,
-                                 interpret: bool = False) -> jnp.ndarray:
+                                 interpret: bool = False,
+                                 bf16_dots: bool = False) -> jnp.ndarray:
     """Drop-in for ops.mean_shift.mean_shift_iterations (gaussian kernel,
     forward only — wrap in stop_gradient on differentiable paths). The whole
     iteration loop runs inside one kernel per row tile."""
@@ -158,7 +179,7 @@ def mean_shift_iterations_pallas(X: jnp.ndarray, bandwidth: jnp.ndarray,
     scalars = scalars.at[0, 2].set(jnp.float32(iterations))
     n_rows = x_p.shape[0]
     out = pl.pallas_call(
-        _ms_multi_kernel,
+        _ms_multi_kernel_bf16 if bf16_dots else _ms_multi_kernel,
         grid=(n_rows // ROW_TILE,),
         in_specs=[
             pl.BlockSpec((1, 128), lambda i: (0, 0),

@@ -228,7 +228,7 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
     host_rng = np.random.RandomState(config.seed + 1)
     key = jax.random.PRNGKey(config.seed + 3)
     steps_per_epoch = steps_per_epoch or max(
-        config.num_train // config.batch_size, 1)
+        config.num_train // (config.batch_size * num_accum), 1)
     lr = config.lr
     mlog = MetricsLogger(config.log_dir, config.model_path)
 

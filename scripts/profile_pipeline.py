@@ -80,6 +80,27 @@ def main():
               jnp.asarray(prim[args]), jax.random.PRNGKey(args),
               spline_fit=spline_fit),
           list(range(6)))
+    bench("reconstruct (legacy sampling, no eval preprocess)",
+          lambda args: reconstruct_shape(
+              jnp.asarray(pts[args]), jnp.asarray(normals[args]),
+              ms_list[args].labels,
+              jnp.asarray(prim[args]), jax.random.PRNGKey(args),
+              spline_fit=spline_fit, eval_preprocess=False),
+          list(range(6)))
+
+    from parsenet_tpu.ops.preprocess import eval_segment_points
+
+    @jax.jit
+    def preprocess_12(p, lab, key):
+        keys = jax.random.split(key, 12)
+        segs = jnp.arange(12)
+        return jax.vmap(lambda s, kk: eval_segment_points(
+            p, lab == s, jnp.int32(1800), kk))(segs, keys)
+
+    bench("eval preprocess only (12 slots: outliers + upsample)",
+          lambda i: preprocess_12(jnp.asarray(pts[i]), ms_list[i].labels,
+                                  jax.random.PRNGKey(i)),
+          list(range(6)))
 
 
 if __name__ == "__main__":

@@ -32,6 +32,26 @@ class TestMeanShiftKernel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=5e-4, atol=5e-5)
 
+    def test_bf16_dots_preserve_clusters(self, rng):
+        # bf16 operands perturb trajectories but not the fixed points:
+        # both precisions must land every point on the same mode.
+        centers = np.eye(8, dtype=np.float32)[:4]
+        x = np.repeat(centers, 60, axis=0)
+        x += 0.05 * rng.randn(*x.shape).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        X = jnp.asarray(x)
+        f32 = np.asarray(mean_shift_iterations_pallas(
+            X, jnp.float32(0.3), 10, interpret=True))
+        b16 = np.asarray(mean_shift_iterations_pallas(
+            X, jnp.float32(0.3), 10, interpret=True, bf16_dots=True))
+        # same mode assignment: nearest converged center agrees pointwise
+        lab_f32 = np.argmax(x[:, :4] @ np.eye(4), axis=1)
+        for lab in (f32, b16):
+            for c in range(4):
+                grp = lab[lab_f32 == c]
+                assert np.abs(grp - grp[:1]).max() < 2e-2
+        np.testing.assert_allclose(b16, f32, rtol=0, atol=2e-2)
+
     def test_clusters_form(self, rng):
         # two tight clusters on the sphere collapse to two centers
         a = np.tile([1, 0, 0, 0, 0, 0, 0, 0], (40, 1))
