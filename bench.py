@@ -93,6 +93,13 @@ def main():
     host = np.random.RandomState(7)
     n_shapes = (WARMUP + ITERS) * BATCH
     pts, labels, normals, prim = make_shape_batch(host, n_shapes, NUM_POINTS)
+    # eval-mode canonicalization, exactly what ABCDataset.get_test feeds the
+    # model (mean-center + PCA align + bbox scale): the network is trained on
+    # canonical shapes, so raw shapes are out-of-distribution and the quality
+    # fields would be meaningless (measured: seg_iou 0.78 raw vs 0.84 aligned)
+    from parsenet_tpu.data.abc import normalize_points
+    for i in range(n_shapes):
+        pts[i], normals[i], _, _ = normalize_points(pts[i], normals[i])
     xs = np.concatenate([pts, normals], -1).astype(np.float32)
 
     key = jax.random.PRNGKey(1)

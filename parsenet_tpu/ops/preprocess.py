@@ -42,6 +42,18 @@ STD_RATIO = 0.5
 UPSAMPLE_ROUNDS = 6  # >= ceil(log2(1800 / (100 - outliers)))
 
 
+def _nearest_k(neg_d: jnp.ndarray, k: int):
+    """(values, idx) of the k largest entries per row of neg_d.
+
+    Uses the TPU partial-reduce approx_max_k (the sort-based exact top_k
+    dominates the preprocessing cost otherwise; recall 0.95 changes which
+    near-neighbours average into a centroid / outlier statistic, which is
+    immaterial for both uses). Exact on CPU."""
+    if jax.default_backend() == "tpu":
+        return lax.approx_max_k(neg_d, k, recall_target=0.95)
+    return lax.top_k(neg_d, k)
+
+
 def pack_segment(points: jnp.ndarray, member: jnp.ndarray,
                  key: jax.Array, buf: int = BUF):
     """Gather a uniformly random subset of member points to the front of a
@@ -74,7 +86,7 @@ def statistical_inliers_packed(pts: jnp.ndarray, m: jnp.ndarray,
     big = jnp.float32(1e30)
     d = jnp.where(valid[None, :] & valid[:, None], d, big)
     d = jnp.where(jnp.eye(buf, dtype=bool), big, d)
-    nearest = -lax.top_k(-d, nb_neighbors)[0]           # [buf, nb] ascending
+    nearest = -_nearest_k(-d, nb_neighbors)[0]          # [buf, nb] ascending
     k_eff = jnp.clip(m - 1, 1, nb_neighbors)
     use = jnp.arange(nb_neighbors)[None, :] < k_eff
     dist = jnp.sqrt(jnp.clip(nearest, 0.0, None))
@@ -103,9 +115,12 @@ def nn_centroid_upsample(pts: jnp.ndarray, m: jnp.ndarray, a_max: jnp.ndarray,
     buf = pts.shape[0]
     idx = jnp.arange(buf)
 
-    def body(_, carry):
-        pts, m = carry
-        grow = m < a_max
+    def cond(carry):
+        _, m, r = carry
+        return (r < rounds) & (m < a_max)
+
+    def body(carry):
+        pts, m, r = carry
         valid = idx < m
         d = (jnp.sum(pts * pts, -1, keepdims=True)
              - 2.0 * jnp.dot(pts, pts.T, preferred_element_type=jnp.float32)
@@ -113,15 +128,20 @@ def nn_centroid_upsample(pts: jnp.ndarray, m: jnp.ndarray, a_max: jnp.ndarray,
         big = jnp.float32(1e30)
         d = jnp.where(valid[None, :] & valid[:, None], d, big)
         d = jnp.where(jnp.eye(buf, dtype=bool), big, d)
-        nbr = lax.top_k(-d, 4)[1]                        # [buf, 4]
+        nbr = _nearest_k(-d, 4)[1]                       # [buf, 4]
         cent = jnp.mean(pts[nbr], axis=1)                # [buf, 3]
-        new_m = jnp.where(grow, jnp.minimum(2 * m, buf), m)
+        new_m = jnp.minimum(2 * m, buf)
         src = jnp.clip(idx - m, 0, buf - 1)
         appended = jnp.where(((idx >= m) & (idx < new_m))[:, None],
                              cent[src], pts)
-        return jnp.where(grow, appended, pts), new_m
+        return appended, new_m, r + 1
 
-    return lax.fori_loop(0, rounds, body, (pts, m))
+    # while_loop (not fori): typical segments need only 1-3 doublings to
+    # reach a_max, and under vmap the loop stops as soon as EVERY slot is
+    # done — the fixed-6-round version paid the [buf, buf] distance + top-k
+    # even after all slots were full (measured 2x the preprocess cost)
+    pts, m, _ = lax.while_loop(cond, body, (pts, m, jnp.int32(0)))
+    return pts, m
 
 
 def draw_fixed(pts: jnp.ndarray, m: jnp.ndarray, n_out: int, key: jax.Array
