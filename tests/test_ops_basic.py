@@ -155,3 +155,35 @@ class TestHungarian:
         cost = 1.0 - np.eye(10, dtype=np.float32)
         col = np.asarray(hungarian.solve_lap(jnp.asarray(cost)))
         np.testing.assert_array_equal(col, np.arange(10))
+
+    def test_padded_siou_structure(self, rng):
+        """Realistic SIOU matrices: few real segments + a block of empty
+        (uniform cost 1.0) padding rows/columns. The padding rows used to
+        drive the auction past its iteration budget and leak -1 rows."""
+        for trial in range(6):
+            n, n_pred, n_gt, npts = 50, rng.randint(4, 16), rng.randint(4, 16), 4000
+            gt = rng.randint(0, n_gt, npts)
+            pred = np.where(rng.rand(npts) < 0.85, np.minimum(gt, n_pred - 1),
+                            rng.randint(0, n_pred, npts))
+            poh = np.eye(n, dtype=np.float32)[pred]
+            goh = np.eye(n, dtype=np.float32)[gt]
+            dots = poh.T @ goh
+            iou = dots / (poh.sum(0)[:, None] + goh.sum(0)[None, :] - dots + 1e-7)
+            cost = (1.0 - iou).astype(np.float32)
+            col = np.asarray(hungarian.solve_lap(jnp.asarray(cost)))
+            assert sorted(col.tolist()) == list(range(n)), "not a permutation"
+            got = cost[np.arange(n), col].sum()
+            rid, cid = hungarian.solve_lap_host(cost)
+            np.testing.assert_allclose(got, cost[rid, cid].sum(), atol=2e-3)
+
+    def test_near_tie_terminates(self, rng):
+        """Adversarial near-tie matrix (all rows within 1e-4): eps
+        escalation must terminate it with a valid permutation and cost
+        within the coarsened n*eps bound."""
+        base = rng.rand(50).astype(np.float32)
+        cost = np.tile(base, (50, 1)) + 1e-4 * rng.rand(50, 50).astype(np.float32)
+        col = np.asarray(hungarian.solve_lap(jnp.asarray(cost)))
+        assert sorted(col.tolist()) == list(range(50)), "not a permutation"
+        got = cost[np.arange(50), col].sum()
+        rid, cid = hungarian.solve_lap_host(cost)
+        np.testing.assert_allclose(got, cost[rid, cid].sum(), atol=6e-3)
