@@ -36,11 +36,12 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 NUM_POINTS = 10000
-BATCH = 4   # re-measured after the pipeline optimizations: B=1 10.4-11.2k,
+# re-measured after the pipeline optimizations: B=1 10.4-11.2k,
 # B=2 13.4k, B=4 14.3k, B=8 14.3k shapes/hour — the early "batching is
 # worse" result predated the pallas mean-shift + fused pipeline
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 WARMUP = 2  # batches
-ITERS = 8   # batches (BATCH * ITERS shapes timed)
+ITERS = int(os.environ.get("BENCH_ITERS", "8"))  # batches (BATCH*ITERS shapes)
 
 # Quality floors for the TRAINED model on the fixed synthetic eval stream
 # (seed 0, shapes 8..40 below). Measured after round-2 training with the
@@ -106,7 +107,10 @@ def main():
 
     # ONE jit program for a BATCH of shapes: the tunneled TPU runtime has
     # high per-dispatch latency and small ops underfill the chip, so the
-    # whole per-shape pipeline is vmapped over shapes and fused
+    # whole per-shape pipeline is vmapped over shapes and fused. The metric
+    # sums are computed INSIDE the program so each timed iteration is one
+    # dispatch + one [2]-float fetch — eager jnp.sum between jits used to
+    # cost an extra relay roundtrip per metric.
     def shape_pipeline(x, p, n, lab, pr, key):
         k1, k2 = jax.random.split(key)
         pred = predict_segmentation(apply_fn, x, lab, pr, k1)
@@ -114,41 +118,47 @@ def main():
                                 spline_fit=spline_fit)
         return pred, rec
 
-    if BATCH == 1:
-        fused = jax.jit(shape_pipeline)
+    def batch_metrics(x, p, n, lab, pr, keys):
+        if BATCH == 1:
+            pred, rec = shape_pipeline(x, p, n, lab, pr, keys[0])
+        else:
+            pred, rec = jax.vmap(shape_pipeline)(x, p, n, lab, pr, keys)
+        return jnp.stack([jnp.sum(rec.residual), jnp.sum(pred.seg_iou)])
 
-        def one_batch(b, key):
-            return fused(jnp.asarray(xs[b]), jnp.asarray(pts[b]),
-                         jnp.asarray(normals[b]), jnp.asarray(labels[b]),
-                         jnp.asarray(prim[b]), key)
-    else:
-        batched = jax.jit(jax.vmap(shape_pipeline,
-                                   in_axes=(0, 0, 0, 0, 0, 0)))
+    batched = jax.jit(batch_metrics)
 
-        def one_batch(b, key):
-            s = slice(b * BATCH, (b + 1) * BATCH)
-            keys = jax.random.split(key, BATCH)
-            return batched(jnp.asarray(xs[s]), jnp.asarray(pts[s]),
-                           jnp.asarray(normals[s]), jnp.asarray(labels[s]),
-                           jnp.asarray(prim[s]), keys)
+    def stage(b):
+        """Start the host->device copies for batch b (async; overlaps the
+        previous batch's compute on the tunnel)."""
+        s = slice(b * BATCH, (b + 1) * BATCH) if BATCH > 1 else b
+        return tuple(jax.device_put(a[s]) for a in
+                     (xs, pts, normals, labels, prim))
+
+    def one_batch(staged, key):
+        keys = jax.random.split(key, max(BATCH, 1))
+        return batched(*staged, keys)
 
     # warmup/compile
+    staged = stage(0)
     for b in range(WARMUP):
         key, sub = jax.random.split(key)
-        out = one_batch(b, sub)
+        out = one_batch(staged, sub)
         jax.block_until_ready(out)
+        staged = stage(b + 1)
 
-    res_sum = iou_sum = 0.0
+    sums = np.zeros(2)
     t0 = time.perf_counter()
     for b in range(WARMUP, WARMUP + ITERS):
         key, sub = jax.random.split(key)
-        pred, rec = one_batch(b, sub)
+        out = one_batch(staged, sub)
+        if b + 1 < WARMUP + ITERS:
+            staged = stage(b + 1)  # prefetch next batch during compute
         # sync via host fetch every iteration: the experimental axon runtime
         # under-reports wildly with a single trailing block_until_ready, and
         # block_until_ready on some buffers returns prematurely
-        res_sum += float(jnp.sum(rec.residual))
-        iou_sum += float(jnp.sum(pred.seg_iou))
+        sums += np.asarray(out)
     dt = time.perf_counter() - t0
+    res_sum, iou_sum = float(sums[0]), float(sums[1])
 
     shapes_per_sec = ITERS * BATCH / dt
     shapes_per_hour = shapes_per_sec * 3600.0

@@ -39,9 +39,9 @@ class MeanShiftResult(NamedTuple):
 
 
 @highest_precision
-def _sorted_subset_sqdist(X: jnp.ndarray, key: Optional[jax.Array],
-                          num_samples: int) -> jnp.ndarray:
-    """Row-sorted pairwise sq. distances of a random subset [S, S] ascending."""
+def _subset_sqdist(X: jnp.ndarray, key: Optional[jax.Array],
+                   num_samples: int) -> jnp.ndarray:
+    """Pairwise sq. distances of a random subset [S, S] (unsorted)."""
     n = X.shape[0]
     s = min(num_samples, n)
     if key is not None and s < n:
@@ -49,8 +49,38 @@ def _sorted_subset_sqdist(X: jnp.ndarray, key: Optional[jax.Array],
         Xs = X[idx]
     else:
         Xs = X[:s]
-    d = 2.0 - 2.0 * jnp.dot(Xs, Xs.T, preferred_element_type=jnp.float32)
-    return jnp.sort(d, axis=-1)
+    return 2.0 - 2.0 * jnp.dot(Xs, Xs.T, preferred_element_type=jnp.float32)
+
+
+def _sorted_subset_sqdist(X: jnp.ndarray, key: Optional[jax.Array],
+                          num_samples: int) -> jnp.ndarray:
+    """Row-sorted pairwise sq. distances of a random subset [S, S] ascending."""
+    return jnp.sort(_subset_sqdist(X, key, num_samples), axis=-1)
+
+
+def _initial_bandwidth(d: jnp.ndarray, quantile: float,
+                       min_bw: float = 0.003) -> jnp.ndarray:
+    """Bandwidth at the STATIC initial quantile without a full row sort.
+
+    The full [S, S] sort costs ~19 ms on chip but is only ever read at the
+    initial quantile unless the escalation loop fires (rare on trained
+    embeddings): here the k-th smallest per row comes from a partial
+    selection instead. On TPU `lax.approx_max_k` (negated distances,
+    aggregate_to_topk so the k-th entry is the true k-th of the candidate
+    set) with recall 0.99 biases the k-th distance slightly high on the
+    ~1% missed rows; averaged over S rows the bandwidth shift is < 0.5%
+    (validated against the exact path in tests and the bench's quality
+    floor). CPU keeps the exact lax.top_k.
+    """
+    s = d.shape[0]
+    k = int(min(max(quantile * s, 1), s - 1))
+    if jax.default_backend() == "tpu":
+        neg_kth = lax.approx_max_k(-d, k, recall_target=0.99,
+                                   aggregate_to_topk=True)[0][:, -1]
+    else:
+        neg_kth = lax.top_k(-d, k)[0][:, -1]
+    bw = jnp.mean(guard_sqrt(-neg_kth, 1e-6))
+    return jnp.maximum(bw, min_bw)
 
 
 def bandwidth_from_sorted(sorted_d: jnp.ndarray, quantile: jnp.ndarray,
@@ -124,7 +154,7 @@ def nms(shifted: jnp.ndarray, X: jnp.ndarray, bandwidth: jnp.ndarray):
                                              "kernel", "max_clusters",
                                              "max_doublings", "use_pallas",
                                              "attempt_iterations",
-                                             "pallas_bf16"))
+                                             "pallas_bf16", "pallas_tol"))
 def guard_mean_shift(X: jnp.ndarray, quantile: float,
                      key: Optional[jax.Array] = None,
                      num_samples: int = 5000, iterations: int = 10,
@@ -132,7 +162,8 @@ def guard_mean_shift(X: jnp.ndarray, quantile: float,
                      max_doublings: int = 8,
                      use_pallas: bool = False,
                      attempt_iterations: Optional[int] = None,
-                     pallas_bf16: bool = False) -> MeanShiftResult:
+                     pallas_bf16: bool = False,
+                     pallas_tol: float = 0.0) -> MeanShiftResult:
     """Mean-shift with bandwidth escalation until <= max_clusters clusters
     (reference: src/mean_shift.py:81-96). Bounded while_loop, one compile.
 
@@ -142,7 +173,7 @@ def guard_mean_shift(X: jnp.ndarray, quantile: float,
     matches the reference, where only the final accepted mean-shift pass
     carries gradients into the fitting loss.
     """
-    sorted_d = lax.stop_gradient(_sorted_subset_sqdist(X, key, num_samples))
+    d_sub = lax.stop_gradient(_subset_sqdist(X, key, num_samples))
     X_ng = lax.stop_gradient(X)
 
     # attempt_iterations: cheaper escalation attempts (perf knob; the
@@ -154,31 +185,41 @@ def guard_mean_shift(X: jnp.ndarray, quantile: float,
         # fused flash-style TPU kernel (forward-only; inference path)
         from .pallas_kernels import mean_shift_iterations_pallas
         shift_fn = lambda xx, bw, it: mean_shift_iterations_pallas(
-            xx, bw, it, bf16_dots=pallas_bf16)
+            xx, bw, it, bf16_dots=pallas_bf16, tol=pallas_tol)
     else:
         shift_fn = lambda xx, bw, it: mean_shift_iterations(xx, bw, it, kernel)
 
-    def attempt(q):
-        bw = bandwidth_from_sorted(sorted_d, q)
+    def attempt(bw):
         shifted = shift_fn(X_ng, bw, att_iters)
         _, _, k = nms(shifted, X_ng, bw)
         return k
 
     def cond(carry):
-        i, q, k = carry
+        i, q, bw, k = carry
         return (k > max_clusters) & (i < max_doublings)
 
     def body(carry):
-        i, q, _ = carry
+        i, q, _, _ = carry
         q = q * 2.0
-        return i + 1, q, attempt(q)
+        # The full row sort lives ONLY here, on the rarely-taken escalation
+        # path (the initial bandwidth uses a partial selection). Rolling the
+        # rows by the loop counter keeps the sort loop-VARIANT so XLA's
+        # while-loop invariant code motion cannot hoist it onto the
+        # always-executed path; the bandwidth is a mean over rows, so a row
+        # permutation changes nothing.
+        sorted_d = jnp.sort(jnp.roll(d_sub, i, axis=0), axis=-1)
+        bw = bandwidth_from_sorted(sorted_d, q)
+        return i + 1, q, bw, attempt(bw)
 
     q0 = jnp.asarray(quantile, jnp.float32)
-    _, q_acc, _ = lax.while_loop(cond, body, (jnp.int32(0), q0, attempt(q0)))
-
-    # re-run at the accepted bandwidth (differentiable on the XLA path;
-    # the pallas kernel is forward-only and used for inference)
-    bw = bandwidth_from_sorted(sorted_d, q_acc)
+    if isinstance(quantile, (int, float)):
+        # static quantile (the eval pipeline): partial selection, no sort
+        bw0 = _initial_bandwidth(d_sub, float(quantile))
+    else:
+        # traced quantile: dynamic k forces the full row sort up front
+        bw0 = bandwidth_from_sorted(jnp.sort(d_sub, axis=-1), q0)
+    _, _, bw, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), q0, bw0, attempt(bw0)))
     if use_pallas and kernel == "gaussian":
         shifted = shift_fn(X, bw, iterations)
     else:

@@ -124,10 +124,11 @@ def _make_ms_multi_kernel(bf16_dots: bool):
         inv2b2 = scalar_ref[0, 0]
         n_valid = scalar_ref[0, 1].astype(jnp.int32)
         iterations = scalar_ref[0, 2].astype(jnp.int32)
+        tol = scalar_ref[0, 3]
         n_pad = x_ref.shape[0]
         tm, d = m_ref.shape
 
-        def one_iter(_, m):
+        def one_iter(m):
             md = m.astype(dot_t)
 
             def body(j, carry):
@@ -151,7 +152,23 @@ def _make_ms_multi_kernel(bf16_dots: bool):
             norm = jnp.sqrt(jnp.sum(new_m * new_m, axis=1, keepdims=True))
             return new_m / (norm + 1e-12)
 
-        out_ref[:] = lax.fori_loop(0, iterations, one_iter, m_ref[:])
+        # Early exit once this row tile's update falls below tol (the shift
+        # map is contractive near the modes, so most tiles converge well
+        # before the fixed reference iteration count; tol <= 0 disables the
+        # exit and reproduces the fixed-count loop exactly).
+        def w_cond(state):
+            it, _, delta = state
+            return (it < iterations) & (delta > tol)
+
+        def w_body(state):
+            it, m, _ = state
+            new_m = one_iter(m)
+            delta = jnp.max(jnp.abs(new_m - m))
+            return it + 1, new_m, delta
+
+        _, m_fin, _ = lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), m_ref[:], jnp.float32(jnp.inf)))
+        out_ref[:] = m_fin
 
     return kernel
 
@@ -161,14 +178,17 @@ _ms_multi_kernel_bf16 = _make_ms_multi_kernel(True)
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "interpret",
-                                             "bf16_dots"))
+                                             "bf16_dots", "tol"))
 def mean_shift_iterations_pallas(X: jnp.ndarray, bandwidth: jnp.ndarray,
                                  iterations: int,
                                  interpret: bool = False,
-                                 bf16_dots: bool = False) -> jnp.ndarray:
+                                 bf16_dots: bool = False,
+                                 tol: float = 0.0) -> jnp.ndarray:
     """Drop-in for ops.mean_shift.mean_shift_iterations (gaussian kernel,
     forward only — wrap in stop_gradient on differentiable paths). The whole
-    iteration loop runs inside one kernel per row tile."""
+    iteration loop runs inside one kernel per row tile; tol > 0 exits a row
+    tile early once its max update falls below tol (tol = 0 keeps the exact
+    fixed-count reference semantics)."""
     inv2b2 = 1.0 / (2.0 * bandwidth * bandwidth)
     n, d = X.shape
     d_pad = max(d, 128)
@@ -177,6 +197,7 @@ def mean_shift_iterations_pallas(X: jnp.ndarray, bandwidth: jnp.ndarray,
     scalars = scalars.at[0, 0].set(jnp.asarray(inv2b2, jnp.float32))
     scalars = scalars.at[0, 1].set(jnp.float32(n))
     scalars = scalars.at[0, 2].set(jnp.float32(iterations))
+    scalars = scalars.at[0, 3].set(jnp.float32(tol))
     n_rows = x_p.shape[0]
     out = pl.pallas_call(
         _ms_multi_kernel_bf16 if bf16_dots else _ms_multi_kernel,
@@ -229,12 +250,19 @@ def _min_sqdist_kernel(q_ref, xt_ref, mask_ref, out_ref, idx_ref):
         out_ref[:] = jnp.full_like(out_ref, _BIG)
         idx_ref[:] = jnp.zeros_like(idx_ref)
 
-    d = jnp.zeros((q_ref.shape[0], xt_ref.shape[1]), jnp.float32)
-    for c in range(3):
-        qc = q_ref[:, c][:, None]        # [TQ, 1]
-        xc = xt_ref[c, :][None, :]       # [1, TX]
-        diff = qc - xc
-        d = d + diff * diff
+    # Quadratic expansion with the cross term on the MXU: the elementwise
+    # (q - x)^2 form costs ~9 VPU ops per output element and was the
+    # pipeline's largest VPU bill (~40 ms/shape over the 10k x 205k coverage
+    # pair); one HIGHEST-precision [TQ,3]x[3,TX] dot keeps f32 fidelity
+    # (6-pass bf16 decomposition) at MXU rates. d >= 0 up to f32 rounding.
+    q = q_ref[:]
+    xt = xt_ref[:]
+    qq = jnp.sum(q * q, axis=1, keepdims=True)          # [TQ, 1]
+    xx = jnp.sum(xt * xt, axis=0, keepdims=True)        # [1, TX]
+    s = lax.dot_general(q, xt, (((1,), (0,)), ((), ())),
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+    d = qq - 2.0 * s + xx
     d = d + mask_ref[0, :][None, :]      # +BIG on padded/masked targets
     tile_min = jnp.min(d, axis=1, keepdims=True)
     tile_idx = (j * d.shape[1]

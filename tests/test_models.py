@@ -64,7 +64,47 @@ class TestDGCNN:
         manual = nn.leaky_relu(manual, 0.2)
         manual = jnp.max(manual, axis=2)
         np.testing.assert_allclose(np.asarray(out), np.asarray(manual),
-                                   rtol=2e-2, atol=2e-2)
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_edgeconv_fused_negative_scale_and_grads(self, rng):
+        """The fused no-[N,k,C] EdgeConv must equal the materialized
+        gather+GroupNorm+LReLU+max formulation, including when GroupNorm
+        scales are NEGATIVE (per-channel min instead of max) — and in
+        gradients."""
+        from parsenet_tpu.models.dgcnn import EdgeConv
+        from parsenet_tpu.ops import knn as knn_ops
+        import flax.linen as nn
+        x = jnp.asarray(rng.randn(2, 48, 6).astype(np.float32))
+        idx = knn_ops.knn(x, k1=5)
+        ec = EdgeConv(8, groups=2)
+        vars_ = ec.init(jax.random.PRNGKey(1), x, idx)
+        # randomize GN affine with mixed signs + random biases
+        p = jax.tree_util.tree_map(lambda a: a, vars_["params"])
+        p["GroupNorm_0"]["scale"] = jnp.asarray(
+            rng.randn(8).astype(np.float32))
+        p["GroupNorm_0"]["bias"] = jnp.asarray(
+            rng.randn(8).astype(np.float32))
+
+        def fused(params):
+            return ec.apply({"params": params}, x, idx)
+
+        def manual(params):
+            wd, wx = params["w_diff"]["kernel"], params["w_center"]["kernel"]
+            feats = knn_ops.edge_features(x, idx)
+            edge = feats[..., :6] @ wd + feats[..., 6:] @ wx
+            gn = nn.GroupNorm(num_groups=2, epsilon=1e-5)
+            edge = gn.apply({"params": params["GroupNorm_0"]}, edge)
+            return jnp.max(nn.leaky_relu(edge, 0.2), axis=2)
+
+        np.testing.assert_allclose(np.asarray(fused(p)),
+                                   np.asarray(manual(p)),
+                                   rtol=1e-4, atol=1e-5)
+        gf = jax.grad(lambda q: jnp.sum(jnp.sin(fused(q))))(p)
+        gm = jax.grad(lambda q: jnp.sum(jnp.sin(manual(q))))(p)
+        for kf, km in zip(jax.tree_util.tree_leaves(gf),
+                          jax.tree_util.tree_leaves(gm)):
+            np.testing.assert_allclose(np.asarray(kf), np.asarray(km),
+                                       rtol=1e-3, atol=1e-4)
 
 
 class TestSplineNet:

@@ -52,6 +52,20 @@ class TestMeanShiftKernel:
                 assert np.abs(grp - grp[:1]).max() < 2e-2
         np.testing.assert_allclose(b16, f32, rtol=0, atol=2e-2)
 
+    def test_early_exit_tol_matches_full_run(self, rng):
+        # tol > 0 stops iterating once the update stalls; the converged
+        # result must match the fixed-count run to within the tolerance
+        centers = np.eye(8, dtype=np.float32)[:3]
+        x = np.repeat(centers, 50, axis=0)
+        x += 0.03 * rng.randn(*x.shape).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        X = jnp.asarray(x)
+        full = np.asarray(mean_shift_iterations_pallas(
+            X, jnp.float32(0.25), 30, interpret=True))
+        early = np.asarray(mean_shift_iterations_pallas(
+            X, jnp.float32(0.25), 30, interpret=True, tol=1e-6))
+        np.testing.assert_allclose(early, full, rtol=0, atol=1e-4)
+
     def test_clusters_form(self, rng):
         # two tight clusters on the sphere collapse to two centers
         a = np.tile([1, 0, 0, 0, 0, 0, 0, 0], (40, 1))
