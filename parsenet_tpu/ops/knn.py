@@ -18,6 +18,7 @@ k2//k1: src/PointNet.py:11) is supported via (k1, k2).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -25,14 +26,20 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _row_chunks(n: int, target: int = 1024) -> int:
+_CHUNK_TARGET = int(os.environ.get("PARSENET_KNN_CHUNK", "2500"))
+
+
+def _row_chunks(n: int, target: int = 0) -> int:
     """Pick a query-chunk size that divides n and is close to `target`.
 
-    Measured on v5e: ~1k-row chunks through lax.map beat both a single
-    full-matrix step (294 vs 226 ms forward at N=10k — worse HBM behaviour)
-    and finer chunking (serialization overhead).
+    Standalone slope timing says the UNchunked [n, n] program is ~1.6x
+    faster than 1k-row lax.map chunks at n = 10k — but inside the fused
+    inference pipeline the three [B, n, n] f32 score tensors (1.6 GB each
+    at B = 4) wreck the XLA schedule (measured 38x slower end-to-end), so
+    chunking stays the default. PARSENET_KNN_CHUNK overrides the target
+    for experiments; peak memory is O(chunk * n) per vmap lane.
     """
-    c = min(n, target)
+    c = min(n, target or _CHUNK_TARGET)
     while n % c:
         c -= 1
     return c
