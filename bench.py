@@ -111,11 +111,25 @@ def main():
     # sums are computed INSIDE the program so each timed iteration is one
     # dispatch + one [2]-float fetch — eager jnp.sum between jits used to
     # cost an extra relay roundtrip per metric.
+    # BENCH_ABLATE: comma list of sections to stub out for in-context stage
+    # costing (ground-truth ablation — the tunnel makes standalone stage
+    # timing unreliable). Sections: recon, splines, preprocess, coverage,
+    # residual. Production runs leave it unset.
+    ablate = tuple(s for s in os.environ.get("BENCH_ABLATE", "").split(",")
+                   if s)
+    sfit = None if "splines" in ablate else spline_fit
+    skip = tuple(s for s in ablate if s in ("coverage", "residual"))
+
     def shape_pipeline(x, p, n, lab, pr, key):
         k1, k2 = jax.random.split(key)
         pred = predict_segmentation(apply_fn, x, lab, pr, k1)
+        if "recon" in ablate:
+            zero = jnp.zeros(())
+            return pred, zero
         rec = reconstruct_shape(p, n, pred.labels, pred.pred_prim, k2,
-                                spline_fit=spline_fit)
+                                spline_fit=sfit,
+                                eval_preprocess="preprocess" not in ablate,
+                                profile_skip=skip)
         return pred, rec
 
     def batch_metrics(x, p, n, lab, pr, keys):
@@ -123,7 +137,8 @@ def main():
             pred, rec = shape_pipeline(x, p, n, lab, pr, keys[0])
         else:
             pred, rec = jax.vmap(shape_pipeline)(x, p, n, lab, pr, keys)
-        return jnp.stack([jnp.sum(rec.residual), jnp.sum(pred.seg_iou)])
+        res = rec.residual if hasattr(rec, "residual") else rec
+        return jnp.stack([jnp.sum(res), jnp.sum(pred.seg_iou)])
 
     batched = jax.jit(batch_metrics)
 

@@ -54,17 +54,42 @@ def sample_plane(normal: jnp.ndarray, offset: jnp.ndarray,
 
 
 def sample_sphere(center: jnp.ndarray, radius: jnp.ndarray,
-                  grid: int = 32) -> jnp.ndarray:
-    """Quasi-uniform sphere samples (reference: src/primitive_forward.py:
-    601-617 uses a lat-long grid). Returns [grid*grid, 3]."""
-    i = jnp.arange(grid * grid, dtype=jnp.float32)
-    # Fibonacci sphere: better uniformity than lat-long, no pole clustering
-    ga = jnp.pi * (3.0 - jnp.sqrt(5.0))
-    z = 1.0 - 2.0 * (i + 0.5) / (grid * grid)
-    r = jnp.sqrt(jnp.clip(1.0 - z * z, min=0.0))
-    th = ga * i
-    d = jnp.stack([r * jnp.cos(th), r * jnp.sin(th), z], axis=1)
-    return center[None, :] + radius * d
+                  grid: int = 32, seg_points: jnp.ndarray = None,
+                  seg_mask: jnp.ndarray = None) -> jnp.ndarray:
+    """Sphere samples (reference: src/primitive_forward.py:601-617 uses a
+    lat-long grid). Returns [grid*grid, 3].
+
+    With seg_points/seg_mask the samples cover only the spherical CAP
+    spanned by the segment (polar grid around the members' mean direction,
+    up to their max angular radius). The reference gets the same effect by
+    bit-mapping the full-sphere mesh against the segment's points
+    (src/fitting_utils.py:646-691): without trimming, a small cap segment
+    on a large sphere puts ~all of the area-weighted coverage samples on
+    the far side of the sphere."""
+    if seg_points is None:
+        i = jnp.arange(grid * grid, dtype=jnp.float32)
+        # Fibonacci sphere: better uniformity than lat-long, no pole
+        # clustering
+        ga = jnp.pi * (3.0 - jnp.sqrt(5.0))
+        z = 1.0 - 2.0 * (i + 0.5) / (grid * grid)
+        r = jnp.sqrt(jnp.clip(1.0 - z * z, min=0.0))
+        th = ga * i
+        d = jnp.stack([r * jnp.cos(th), r * jnp.sin(th), z], axis=1)
+        return center[None, :] + radius * d
+    dn = seg_points - center[None, :]
+    dn = dn / (jnp.linalg.norm(dn, axis=1, keepdims=True) + EPS)
+    m = jnp.sum(dn * (seg_mask[:, None] > 0), axis=0)
+    m = m / (jnp.linalg.norm(m) + EPS)  # degenerate m -> alpha ~ pi anyway
+    cmin = jnp.min(jnp.where(seg_mask > 0, jnp.dot(dn, m), 1.0))
+    alpha = jnp.clip(jnp.arccos(jnp.clip(cmin, -1.0, 1.0)), 0.05, jnp.pi)
+    b1, b2 = _orthonormal_frame(m)
+    th = jnp.linspace(0.0, 1.0, grid) * alpha
+    ph = jnp.linspace(0.0, 2.0 * jnp.pi, grid, endpoint=False)
+    TH, PH = jnp.meshgrid(th, ph, indexing="ij")
+    dirs = (jnp.cos(TH).reshape(-1, 1) * m[None, :]
+            + (jnp.sin(TH) * jnp.cos(PH)).reshape(-1, 1) * b1[None, :]
+            + (jnp.sin(TH) * jnp.sin(PH)).reshape(-1, 1) * b2[None, :])
+    return center[None, :] + radius * dirs
 
 
 def sample_cylinder(axis: jnp.ndarray, center: jnp.ndarray,

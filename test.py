@@ -19,7 +19,7 @@ from parsenet_tpu.core.config import load_config
 from parsenet_tpu.core.logging import setup_logging
 from parsenet_tpu.data.abc import ABCDataset
 from parsenet_tpu import cpp as native
-from parsenet_tpu.eval.pipeline import coverage_metrics, reconstruct_shape
+from parsenet_tpu.eval.pipeline import protocol_coverage, reconstruct_shape
 from parsenet_tpu.postprocess import optimize_spline_kronecker
 from parsenet_tpu.train.train_e2e import build_spline_fit
 
@@ -96,12 +96,10 @@ def main():
                 tv = np.gradient(s3, axis=1)
                 w[k] = np.linalg.norm(np.cross(tu, tv), axis=-1).reshape(-1)
             flat = surf.reshape(-1, 3)
-            fmask = np.repeat(mask.astype(np.float32), surf.shape[1])
             fw = (mask[:, None] * w).reshape(-1).astype(np.float32)
-            c, s1j, s2j = coverage_metrics(jnp.asarray(points[0]),
-                                           jnp.asarray(flat),
-                                           jnp.asarray(fmask),
-                                           jnp.asarray(fw))
+            c, s1j, s2j = protocol_coverage(jnp.asarray(points[0]),
+                                            jnp.asarray(flat),
+                                            jnp.asarray(fw), sub)
             p_cov, s1, s2 = float(c), float(s1j), float(s2j)
         res.append(float(rec.residual)); cov.append(p_cov)
         sk1.append(s1); sk2.append(s2)
