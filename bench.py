@@ -137,8 +137,14 @@ def main():
             pred, rec = shape_pipeline(x, p, n, lab, pr, keys[0])
         else:
             pred, rec = jax.vmap(shape_pipeline)(x, p, n, lab, pr, keys)
-        res = rec.residual if hasattr(rec, "residual") else rec
-        return jnp.stack([jnp.sum(res), jnp.sum(pred.seg_iou)])
+        if not hasattr(rec, "residual"):
+            z = jnp.sum(rec)
+            return jnp.stack([z, jnp.sum(pred.seg_iou), z, z])
+        # fetch EVERY headline metric: outputs that are never fetched are
+        # dead code to XLA, so a residual-only fetch would silently drop
+        # the coverage computation from the measured program
+        return jnp.stack([jnp.sum(rec.residual), jnp.sum(pred.seg_iou),
+                          jnp.sum(rec.p_cov), jnp.sum(rec.sk_2)])
 
     batched = jax.jit(batch_metrics)
 
@@ -161,7 +167,7 @@ def main():
         jax.block_until_ready(out)
         staged = stage(b + 1)
 
-    sums = np.zeros(2)
+    sums = np.zeros(4)
     t0 = time.perf_counter()
     for b in range(WARMUP, WARMUP + ITERS):
         key, sub = jax.random.split(key)
@@ -174,6 +180,8 @@ def main():
         sums += np.asarray(out)
     dt = time.perf_counter() - t0
     res_sum, iou_sum = float(sums[0]), float(sums[1])
+    cov_mean = float(sums[2]) / (ITERS * BATCH)
+    sk2_mean = float(sums[3]) / (ITERS * BATCH)
 
     shapes_per_sec = ITERS * BATCH / dt
     shapes_per_hour = shapes_per_sec * 3600.0
@@ -196,6 +204,8 @@ def main():
             "num_points": NUM_POINTS,
             "residual": round(residual, 5),
             "seg_iou": round(seg_iou, 4),
+            "p_cov": round(cov_mean, 5),
+            "sk_2": round(sk2_mean, 4),
             "trained_params": trained,
             "quality_ok": quality_ok,
             "floors": {"seg_iou_min": FLOOR_SEG_IOU,

@@ -266,9 +266,18 @@ def reconstruct_shape(points: jnp.ndarray, normals: jnp.ndarray,
     d_geom_own = d_geom[pred_labels, jnp.arange(N)]              # [N]
     if spline_fit is not None:
         spline_used = jnp.zeros((K_MAX,), bool).at[slot_seg].set(slot_valid)
-        own_surf = surf[pred_labels]                             # [N, G^2, 3]
-        d_samp = jax.vmap(lambda p, s: jnp.min(jnp.sum((s - p) ** 2, -1)))(
-            points, own_surf)
+        # Min distance of every point to each SLOT surface, then select the
+        # point's own slot. The direct surf[pred_labels] gather
+        # ([N, G^2, 3], ~0.5 GB) fused into its elementwise consumer
+        # scalarizes on TPU and cost ~48 ms/shape (measured by BENCH_ABLATE
+        # ground-truth ablation); 12 fused MXU min-distance passes compute
+        # the identical quantity in ~2 ms.
+        slot_surfs = surf[slot_seg]                       # [S, G^2, 3]
+        d_slot = jax.vmap(
+            lambda s: min_sqdist(points[None], s[None])[0])(slot_surfs)
+        slot_of_seg = jnp.zeros((K_MAX,), jnp.int32).at[slot_seg].set(
+            jnp.arange(max_spline_slots, dtype=jnp.int32))
+        d_samp = d_slot[slot_of_seg[pred_labels], jnp.arange(N)]
         d_own = jnp.where(spline_used[pred_labels], d_samp, d_geom_own)
     else:
         d_own = d_geom_own
