@@ -101,7 +101,8 @@ def main():
     from parsenet_tpu.data.abc import normalize_points
     for i in range(n_shapes):
         pts[i], normals[i], _, _ = normalize_points(pts[i], normals[i])
-    xs = np.concatenate([pts, normals], -1).astype(np.float32)
+    pts = pts.astype(np.float32)
+    normals = normals.astype(np.float32)
 
     key = jax.random.PRNGKey(1)
 
@@ -120,7 +121,11 @@ def main():
     sfit = None if "splines" in ablate else spline_fit
     skip = tuple(s for s in ablate if s in ("coverage", "residual"))
 
-    def shape_pipeline(x, p, n, lab, pr, key):
+    def shape_pipeline(p, n, lab, pr, key):
+        # network input built ON DEVICE: shipping concat(pts, normals)
+        # separately would transfer the same 960 KB/batch twice over the
+        # tunnel
+        x = jnp.concatenate([p, n], axis=-1)
         k1, k2 = jax.random.split(key)
         pred = predict_segmentation(apply_fn, x, lab, pr, k1)
         if "recon" in ablate:
@@ -132,11 +137,11 @@ def main():
                                 profile_skip=skip)
         return pred, rec
 
-    def batch_metrics(x, p, n, lab, pr, keys):
+    def batch_metrics(p, n, lab, pr, keys):
         if BATCH == 1:
-            pred, rec = shape_pipeline(x, p, n, lab, pr, keys[0])
+            pred, rec = shape_pipeline(p, n, lab, pr, keys[0])
         else:
-            pred, rec = jax.vmap(shape_pipeline)(x, p, n, lab, pr, keys)
+            pred, rec = jax.vmap(shape_pipeline)(p, n, lab, pr, keys)
         if not hasattr(rec, "residual"):
             z = jnp.sum(rec)
             return jnp.stack([z, jnp.sum(pred.seg_iou), z, z])
@@ -153,7 +158,7 @@ def main():
         previous batch's compute on the tunnel)."""
         s = slice(b * BATCH, (b + 1) * BATCH) if BATCH > 1 else b
         return tuple(jax.device_put(a[s]) for a in
-                     (xs, pts, normals, labels, prim))
+                     (pts, normals, labels, prim))
 
     def one_batch(staged, key):
         keys = jax.random.split(key, max(BATCH, 1))
@@ -169,15 +174,21 @@ def main():
 
     sums = np.zeros(4)
     t0 = time.perf_counter()
+    pending = []
     for b in range(WARMUP, WARMUP + ITERS):
         key, sub = jax.random.split(key)
-        out = one_batch(staged, sub)
+        pending.append(one_batch(staged, sub))
         if b + 1 < WARMUP + ITERS:
             staged = stage(b + 1)  # prefetch next batch during compute
-        # sync via host fetch every iteration: the experimental axon runtime
-        # under-reports wildly with a single trailing block_until_ready, and
-        # block_until_ready on some buffers returns prematurely
-        sums += np.asarray(out)
+        # one batch stays in flight so the per-batch metric fetch (a full
+        # relay roundtrip) overlaps the next batch's compute; every batch
+        # is still fetched via np.asarray (the experimental axon runtime
+        # under-reports wildly with a single trailing block_until_ready),
+        # and the clock stops only after ALL outputs are on the host
+        if len(pending) > 1:
+            sums += np.asarray(pending.pop(0))
+    while pending:
+        sums += np.asarray(pending.pop(0))
     dt = time.perf_counter() - t0
     res_sum, iou_sum = float(sums[0]), float(sums[1])
     cov_mean = float(sums[2]) / (ITERS * BATCH)

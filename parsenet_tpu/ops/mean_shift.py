@@ -104,15 +104,16 @@ def _initial_bandwidth(d: jnp.ndarray, quantile: float,
     embeddings): here the k-th smallest per row comes from a partial
     selection instead. On TPU `lax.approx_max_k` (negated distances,
     aggregate_to_topk so the k-th entry is the true k-th of the candidate
-    set) with recall 0.99 biases the k-th distance slightly high on the
-    ~1% missed rows; averaged over S rows the bandwidth shift is < 0.5%
-    (validated against the exact path in tests and the bench's quality
-    floor). CPU keeps the exact lax.top_k.
+    set) biases the k-th distance slightly high on rows with missed
+    candidates; averaged over S rows the bandwidth shift stays well under
+    1% at recall 0.95 (validated: labels identical to the exact-sort path
+    on trained embeddings, plus the bench's quality floor). CPU keeps the
+    exact lax.top_k.
     """
     s = d.shape[0]
     k = int(min(max(quantile * s, 1), s - 1))
     if jax.default_backend() == "tpu":
-        neg_kth = lax.approx_max_k(-d, k, recall_target=0.99,
+        neg_kth = lax.approx_max_k(-d, k, recall_target=0.95,
                                    aggregate_to_topk=True)[0][:, -1]
     else:
         neg_kth = lax.top_k(-d, k)[0][:, -1]

@@ -50,7 +50,8 @@ def _nearest_k(neg_d: jnp.ndarray, k: int):
     near-neighbours average into a centroid / outlier statistic, which is
     immaterial for both uses). Exact on CPU."""
     if jax.default_backend() == "tpu":
-        return lax.approx_max_k(neg_d, k, recall_target=0.95)
+        from .knn import APPROX_RECALL
+        return lax.approx_max_k(neg_d, k, recall_target=APPROX_RECALL)
     return lax.top_k(neg_d, k)
 
 
