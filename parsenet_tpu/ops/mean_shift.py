@@ -227,8 +227,8 @@ def guard_mean_shift(X: jnp.ndarray, quantile: float,
     else:
         shift_fn = lambda xx, bw, it: mean_shift_iterations(xx, bw, it, kernel)
 
-    def attempt(bw):
-        shifted = shift_fn(X_ng, bw, att_iters)
+    def attempt(bw, it):
+        shifted = shift_fn(X_ng, bw, it)
         _, _, k = nms(shifted, X_ng, bw)
         return k
 
@@ -243,7 +243,7 @@ def guard_mean_shift(X: jnp.ndarray, quantile: float,
         # batch, so when ANY lane escalates every lane pays for it — the
         # binary search costs ~4x less than the full row sort it replaced.
         bw = _escalation_bandwidth(d_sub, q)
-        return i + 1, q, bw, attempt(bw)
+        return i + 1, q, bw, attempt(bw, att_iters)
 
     q0 = jnp.asarray(quantile, jnp.float32)
     if isinstance(quantile, (int, float)):
@@ -253,7 +253,11 @@ def guard_mean_shift(X: jnp.ndarray, quantile: float,
         # traced quantile: dynamic k -> sort-free binary-search statistic
         bw0 = _escalation_bandwidth(d_sub, q0)
     _, _, bw, _ = lax.while_loop(
-        cond, body, (jnp.int32(0), q0, bw0, attempt(bw0)))
+        # (Tried: running the initial attempt at the full iteration count
+        # hoping XLA CSE would merge it with the accepted-bandwidth re-run
+        # on no-grad paths — it does not; the graphs stay separate and the
+        # bench lost 14 ms/shape. Cheap attempts win.)
+        cond, body, (jnp.int32(0), q0, bw0, attempt(bw0, att_iters)))
     if use_pallas and kernel == "gaussian":
         shifted = shift_fn(X, bw, iterations)
     else:
