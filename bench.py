@@ -84,7 +84,9 @@ def main():
     from parsenet_tpu.train.train_e2e import build_spline_fit
 
     n_dev = len(jax.devices())
-    model = PrimitivesEmbedding(emb_size=128, num_primitives=10, mode=5, k=80)
+    model = PrimitivesEmbedding(
+        emb_size=128, num_primitives=10, mode=5, k=80,
+        gather_bf16=os.environ.get("BENCH_GATHER_BF16", "0") == "1")
     params, trained = load_trained_params(model)
     apply_fn = jax.jit(lambda x: model.apply({"params": params}, x))
     spline_fit = build_spline_fit(grid=20, log_dir="logs")
@@ -127,7 +129,14 @@ def main():
         # tunnel
         x = jnp.concatenate([p, n], axis=-1)
         k1, k2 = jax.random.split(key)
-        pred = predict_segmentation(apply_fn, x, lab, pr, k1)
+        if "ms" in ablate:  # ablation: ground-truth labels, no clustering
+            from parsenet_tpu.eval.pipeline import SegmentationPrediction
+            emb, prim_logp = apply_fn(x[None])
+            pred = SegmentationPrediction(
+                lab, jnp.argmax(prim_logp[0], -1), emb[0],
+                jnp.float32(1.0), jnp.float32(1.0), jnp.int32(0))
+        else:
+            pred = predict_segmentation(apply_fn, x, lab, pr, k1)
         if "recon" in ablate:
             zero = jnp.zeros(())
             return pred, zero

@@ -71,15 +71,17 @@ def predict_segmentation(apply_fn: Callable, x: jnp.ndarray,
     emb = emb[0]
     pred_prim = jnp.argmax(prim_logp[0], axis=-1)
     embn = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-12)
-    # bandwidth-escalation attempts only pick the quantile, so they run at
-    # 10 iterations (measured: identical final labels across clustered /
-    # semi-structured / random embeddings, 12/12); the accepted bandwidth is
-    # re-run at the full iteration count
+    # differentiable=False: every guard attempt runs at full strength and
+    # IS the result when accepted (exactly the reference's guard,
+    # mean_shift.py:81-96) — one mean-shift + one NMS in the common
+    # no-escalation case. bf16 kernel dots: validated label-identical to
+    # f32 on trained embeddings (f32 accumulation; the shift map is
+    # contractive toward the modes).
     ms = guard_mean_shift(embn, quantile, key=key,
                           num_samples=ms_num_samples, iterations=iterations,
                           use_pallas=pallas_available(),
-                          attempt_iterations=min(10, iterations),
-                          pallas_bf16=ms_bf16)
+                          pallas_bf16=ms_bf16 or pallas_available(),
+                          differentiable=False)
     w = to_one_hot(ms.labels)
     seg_iou, prim_iou = siou_matched_segments(gt_labels, ms.labels,
                                               pred_prim, gt_prim, w)

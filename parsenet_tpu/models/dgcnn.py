@@ -74,6 +74,11 @@ class EdgeConv(nn.Module):
     groups: int
     negative_slope: float = 0.2
     dtype: Dtype = jnp.float32
+    gather_bf16: bool = False  # gather bf16 neighbour values (the random-row
+    # gather is HBM-bandwidth-bound at ~5 ms/shape/layer; halving the bytes
+    # nearly halves it). Statistics still accumulate in f32; the bf16
+    # VALUE rounding perturbs activations ~1e-3 relative — validate quality
+    # before enabling.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -91,7 +96,9 @@ class EdgeConv(nn.Module):
         ydf = yd.astype(jnp.float32)
         yxf = yx.astype(jnp.float32)
         # one gather, four fused reductions over the neighbour axis
-        g = knn_ops.gather_neighbors(ydf, idx)          # [B, N, k, C]
+        gsrc = ydf.astype(jnp.bfloat16) if self.gather_bf16 else ydf
+        g = knn_ops.gather_neighbors(gsrc, idx).astype(
+            jnp.float32)                                # [B, N, k, C]
         nb_sum = jnp.sum(g, axis=2)
         nb_sq = jnp.sum(g * g, axis=2)
         nb_max = jnp.max(g, axis=2)
@@ -130,22 +137,27 @@ class DGCNNEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False  # rematerialize EdgeConvs: trades recompute for the
     # [B, N, k, C] activation memory in the backward pass (large batches)
+    gather_bf16: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         # x: [B, N, C_in] -> (global [B, 1024], skip [B, N, 256])
         EC = nn.remat(EdgeConv) if self.remat else EdgeConv
+        gb = self.gather_bf16
         if self.mode == 5:
             idx = knn_ops.knn_points_normals(x, k1=self.k, k2=self.k)
         else:
             idx = knn_ops.knn(x, k1=self.k, k2=self.k)
-        x1 = EC(64, groups=2, name="conv1", dtype=self.dtype)(x, idx)
+        x1 = EC(64, groups=2, name="conv1", dtype=self.dtype,
+                gather_bf16=gb)(x, idx)
 
         idx = knn_ops.knn(x1, k1=self.k, k2=self.k)
-        x2 = EC(64, groups=2, name="conv2", dtype=self.dtype)(x1, idx)
+        x2 = EC(64, groups=2, name="conv2", dtype=self.dtype,
+                gather_bf16=gb)(x1, idx)
 
         idx = knn_ops.knn(x2, k1=self.k, k2=self.k)
-        x3 = EC(128, groups=2, name="conv3", dtype=self.dtype)(x2, idx)
+        x3 = EC(128, groups=2, name="conv3", dtype=self.dtype,
+                gather_bf16=gb)(x2, idx)
 
         feats = jnp.concatenate([x1, x2, x3], axis=-1)  # [B, N, 256]
         h = nn.Dense(1024, name="mlp1", dtype=self.dtype)(feats)
@@ -172,6 +184,7 @@ class PrimitivesEmbedding(nn.Module):
     with_primitives: bool = True
     dtype: Dtype = jnp.float32
     remat: bool = False
+    gather_bf16: bool = False
 
     @nn.compact
     def __call__(self, points: jnp.ndarray):
@@ -179,7 +192,8 @@ class PrimitivesEmbedding(nn.Module):
         dt = self.dtype
         global_feat, skip = DGCNNEncoder(mode=self.mode, k=self.k,
                                          name="encoder", dtype=dt,
-                                         remat=self.remat)(points)
+                                         remat=self.remat,
+                                         gather_bf16=self.gather_bf16)(points)
         h = jnp.concatenate(
             [jnp.broadcast_to(global_feat[:, None, :], (B, N, 1024)), skip],
             axis=-1)

@@ -192,7 +192,8 @@ def nms(shifted: jnp.ndarray, X: jnp.ndarray, bandwidth: jnp.ndarray):
                                              "kernel", "max_clusters",
                                              "max_doublings", "use_pallas",
                                              "attempt_iterations",
-                                             "pallas_bf16", "pallas_tol"))
+                                             "pallas_bf16", "pallas_tol",
+                                             "differentiable"))
 def guard_mean_shift(X: jnp.ndarray, quantile: float,
                      key: Optional[jax.Array] = None,
                      num_samples: int = 5000, iterations: int = 10,
@@ -201,15 +202,24 @@ def guard_mean_shift(X: jnp.ndarray, quantile: float,
                      use_pallas: bool = False,
                      attempt_iterations: Optional[int] = None,
                      pallas_bf16: bool = False,
-                     pallas_tol: float = 0.0) -> MeanShiftResult:
+                     pallas_tol: float = 0.0,
+                     differentiable: bool = True) -> MeanShiftResult:
     """Mean-shift with bandwidth escalation until <= max_clusters clusters
     (reference: src/mean_shift.py:81-96). Bounded while_loop, one compile.
 
-    Differentiability: the escalation loop runs on stop-gradient data to FIND
-    the accepted bandwidth (lax.while_loop is not reverse-differentiable);
-    the accepted configuration is then re-run once differentiably. This
-    matches the reference, where only the final accepted mean-shift pass
-    carries gradients into the fitting loss.
+    differentiable=True: the escalation loop runs cheap stop-gradient
+    attempts to FIND the accepted bandwidth (lax.while_loop is not
+    reverse-differentiable), then the accepted configuration is re-run once
+    differentiably — matching the reference, where only the final accepted
+    mean-shift pass carries gradients into the fitting loss.
+
+    differentiable=False (inference): each attempt runs at the FULL
+    iteration count — exactly the reference's guard, whose every doubling
+    re-runs the complete mean-shift (src/mean_shift.py:81-96) — and its
+    shifted embedding + NMS are carried through the loop as the result, so
+    the common no-escalation case costs ONE mean-shift and ONE NMS instead
+    of a throwaway attempt plus a full re-run (~19 ms/shape on the fused
+    eval pipeline).
     """
     d_sub = lax.stop_gradient(_subset_sqdist(X, key, num_samples))
     X_ng = lax.stop_gradient(X)
@@ -227,6 +237,37 @@ def guard_mean_shift(X: jnp.ndarray, quantile: float,
     else:
         shift_fn = lambda xx, bw, it: mean_shift_iterations(xx, bw, it, kernel)
 
+    q0 = jnp.asarray(quantile, jnp.float32)
+    if isinstance(quantile, (int, float)):
+        # static quantile (the eval pipeline): partial selection, no sort
+        bw0 = _initial_bandwidth(d_sub, float(quantile))
+    else:
+        # traced quantile: dynamic k -> sort-free binary-search statistic
+        bw0 = _escalation_bandwidth(d_sub, q0)
+
+    if not differentiable:
+        def full(bw):
+            shifted = shift_fn(X_ng, bw, iterations)
+            center_mask, labels, k = nms(shifted, X_ng, bw)
+            return shifted, center_mask, labels, k
+
+        def cond_f(carry):
+            i, q, bw, (_, _, _, k) = carry
+            return (k > max_clusters) & (i < max_doublings)
+
+        def body_f(carry):
+            i, q, _, _ = carry
+            q = q * 2.0
+            # Sort-free k-th order statistic: this body is vmapped with
+            # the batch, so when ANY lane escalates every lane pays for
+            # it — the binary search costs ~4x less than a full row sort.
+            bw = _escalation_bandwidth(d_sub, q)
+            return i + 1, q, bw, full(bw)
+
+        _, _, bw, (shifted, center_mask, labels, k) = lax.while_loop(
+            cond_f, body_f, (jnp.int32(0), q0, bw0, full(bw0)))
+        return MeanShiftResult(shifted, center_mask, labels, bw, k)
+
     def attempt(bw, it):
         shifted = shift_fn(X_ng, bw, it)
         _, _, k = nms(shifted, X_ng, bw)
@@ -239,24 +280,14 @@ def guard_mean_shift(X: jnp.ndarray, quantile: float,
     def body(carry):
         i, q, _, _ = carry
         q = q * 2.0
-        # Sort-free k-th order statistic: this body is vmapped with the
-        # batch, so when ANY lane escalates every lane pays for it — the
-        # binary search costs ~4x less than the full row sort it replaced.
         bw = _escalation_bandwidth(d_sub, q)
         return i + 1, q, bw, attempt(bw, att_iters)
 
-    q0 = jnp.asarray(quantile, jnp.float32)
-    if isinstance(quantile, (int, float)):
-        # static quantile (the eval pipeline): partial selection, no sort
-        bw0 = _initial_bandwidth(d_sub, float(quantile))
-    else:
-        # traced quantile: dynamic k -> sort-free binary-search statistic
-        bw0 = _escalation_bandwidth(d_sub, q0)
     _, _, bw, _ = lax.while_loop(
         # (Tried: running the initial attempt at the full iteration count
         # hoping XLA CSE would merge it with the accepted-bandwidth re-run
         # on no-grad paths — it does not; the graphs stay separate and the
-        # bench lost 14 ms/shape. Cheap attempts win.)
+        # bench lost 14 ms/shape. Use differentiable=False instead.)
         cond, body, (jnp.int32(0), q0, bw0, attempt(bw0, att_iters)))
     if use_pallas and kernel == "gaussian":
         shifted = shift_fn(X, bw, iterations)

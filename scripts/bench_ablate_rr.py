@@ -1,0 +1,132 @@
+"""Round-robin in-process ablation comparison: all ablated pipeline
+variants measured interleaved in ONE process, so transient tunnel
+congestion hits every variant equally and the full-pipeline baseline
+normalizes the rest. Programs are expected to be compile-cached."""
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+B, N = 4, 10000
+ROUNDS = 6
+
+
+def main():
+    from bench import load_trained_params
+    from parsenet_tpu.data.abc import normalize_points
+    from parsenet_tpu.data.synthetic import make_shape_batch
+    from parsenet_tpu.eval.pipeline import (predict_segmentation,
+                                            reconstruct_shape,
+                                            SegmentationPrediction)
+    from parsenet_tpu.models.dgcnn import PrimitivesEmbedding
+    from parsenet_tpu.train.train_e2e import build_spline_fit
+
+    host = np.random.RandomState(7)
+    pts, labels, normals, prim = make_shape_batch(host, 2 * B, N)
+    for i in range(2 * B):
+        pts[i], normals[i], _, _ = normalize_points(pts[i], normals[i])
+    P = jnp.asarray(pts[B:2 * B].astype(np.float32))
+    NR = jnp.asarray(normals[B:2 * B].astype(np.float32))
+    L, PR = jnp.asarray(labels[B:2 * B]), jnp.asarray(prim[B:2 * B])
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+    model = PrimitivesEmbedding(emb_size=128, num_primitives=10, mode=5, k=80)
+    params, _ = load_trained_params(model)
+    apply_fn = jax.jit(lambda x: model.apply({"params": params}, x))
+    spline_fit = build_spline_fit(grid=20, log_dir="logs")
+
+    def make(ablate):
+        sfit = None if "splines" in ablate else spline_fit
+        skip = tuple(s for s in ablate if s in ("coverage", "residual"))
+
+        def shape_pipeline(p, n, lab, pr, key):
+            from parsenet_tpu.ops.mean_shift import guard_mean_shift
+            from parsenet_tpu.ops.segmentation import (siou_matched_segments,
+                                                       to_one_hot)
+            x = jnp.concatenate([p, n], axis=-1)
+            k1, k2 = jax.random.split(key)
+            if "ms" in ablate:
+                emb, prim_logp = apply_fn(x[None])
+                pred = SegmentationPrediction(
+                    lab, jnp.argmax(prim_logp[0], -1), emb[0],
+                    jnp.float32(1.0), jnp.float32(1.0), jnp.int32(0))
+            elif ("nosiou" in ablate or "ms10" in ablate
+                  or "noattempt" in ablate or "bf16" in ablate):
+                emb, prim_logp = apply_fn(x[None])
+                emb = emb[0]
+                pred_prim = jnp.argmax(prim_logp[0], -1)
+                embn = emb / (jnp.linalg.norm(emb, -1, keepdims=True) + 1e-12)
+                iters = 10 if "ms10" in ablate else 50
+                ms = guard_mean_shift(
+                    embn, 0.015, key=k1, num_samples=5000, iterations=iters,
+                    use_pallas=True, attempt_iterations=10,
+                    pallas_bf16="bf16" in ablate,
+                    max_doublings=0 if "noattempt" in ablate else 8)
+                if "nosiou" in ablate:
+                    si = pi = jnp.float32(0.0)
+                else:
+                    si, pi = siou_matched_segments(lab, ms.labels, pred_prim,
+                                                   pr, to_one_hot(ms.labels))
+                pred = SegmentationPrediction(ms.labels, pred_prim, emb, si,
+                                              pi, ms.num_clusters)
+            else:
+                pred = predict_segmentation(apply_fn, x, lab, pr, k1)
+            if "recon" in ablate:
+                return pred, jnp.zeros(())
+            rec = reconstruct_shape(
+                p, n, pred.labels, pred.pred_prim, k2, spline_fit=sfit,
+                eval_preprocess="preprocess" not in ablate,
+                profile_skip=skip)
+            return pred, rec
+
+        @jax.jit
+        def f(p, n, lab, pr, kk):
+            pred, rec = jax.vmap(shape_pipeline)(p, n, lab, pr, kk)
+            res = rec.residual if hasattr(rec, "residual") else rec
+            extra = (jnp.sum(rec.p_cov) + jnp.sum(rec.sk_2)
+                     if hasattr(rec, "p_cov") else jnp.float32(0))
+            return jnp.stack([jnp.sum(res), jnp.sum(pred.seg_iou), extra,
+                              extra * 0])
+        return f
+
+    variants = {
+        "full": (),
+        "no-recon": ("recon",),
+        # recon stays ON in these so the labels (hence mean-shift) are live
+        "no-siou (recon on)": ("nosiou",),
+        "no-attempt (recon on)": ("noattempt",),
+        "ms-bf16 (recon on)": ("bf16",),
+        "ms-bf16 no-recon": ("bf16", "ms10x5", "recon"),
+    }
+    fns = {name: make(a) for name, a in variants.items()}
+    # compile/warm all
+    for name, f in fns.items():
+        out = f(P, NR, L, PR, keys)
+        np.asarray(out)
+        print(f"warm {name}")
+
+    acc = {name: [] for name in fns}
+    for r in range(ROUNDS):
+        for name, f in fns.items():
+            t0 = time.perf_counter()
+            np.asarray(f(P, NR, L, PR, keys))
+            acc[name].append((time.perf_counter() - t0) * 1000)
+    base = np.median(acc["full"])
+    print(f"\nfull pipeline: {base / B:.1f} ms/shape (median of {ROUNDS})")
+    for name in fns:
+        m = np.median(acc[name])
+        print(f"{name}: {m / B:6.1f} ms/shape   delta vs full: "
+              f"{(base - m) / B:6.1f}")
+
+
+if __name__ == "__main__":
+    main()
