@@ -23,9 +23,37 @@ import jax.numpy as jnp
 from ..ops import knn as knn_ops
 
 
+class _BNVars(nn.Module):
+    """BatchNorm parameters + running statistics with flax's exact variable
+    naming (params: scale/bias; batch_stats: mean/var), so checkpoints
+    trained against `nn.BatchNorm` load unchanged into the fused EdgeConv."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,)))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,)))
+        return scale, bias, mean, var
+
+
 class EdgeConvBN(nn.Module):
+    """EdgeConv + BatchNorm + LReLU + max over neighbours, fused.
+
+    Like models.dgcnn.EdgeConv, the [B, N, k, C] edge tensor is never
+    materialized: BatchNorm is a per-channel affine map once its statistics
+    are known (running averages at eval; batch moments at train, which
+    expand into neighbour sum/sum-of-squares), and LeakyReLU is monotone,
+    so max_j LReLU(BN(yd_j + yx_i)) reduces to per-channel neighbour
+    max/min selected by the sign of the BN scale.
+    """
     features: int
     negative_slope: float = 0.2
+    momentum: float = 0.9
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, idx: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -33,11 +61,34 @@ class EdgeConvBN(nn.Module):
         w_x = nn.Dense(self.features, use_bias=False, name="w_center")
         yd = w_d(x)
         yx = w_x(x) - yd
-        edge = knn_ops.gather_neighbors(yd, idx) + yx[:, :, None, :]
-        edge = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5, name="bn")(edge)
-        edge = nn.leaky_relu(edge, self.negative_slope)
-        return jnp.max(edge, axis=2)
+        scale, bias, ra_mean, ra_var = _BNVars(self.features, name="bn")()
+
+        Bn, N, k = x.shape[0], x.shape[1], idx.shape[2]
+        g = knn_ops.gather_neighbors(yd, idx)           # [B, N, k, C]
+        nb_sum = jnp.sum(g, axis=2)
+        nb_max = jnp.max(g, axis=2)
+        nb_min = jnp.min(g, axis=2)
+
+        if train:
+            nb_sq = jnp.sum(g * g, axis=2)
+            e_sum = nb_sum + k * yx
+            e_sq = nb_sq + 2.0 * yx * nb_sum + k * yx * yx
+            cnt = Bn * N * k
+            mean = jnp.sum(e_sum, axis=(0, 1)) / cnt
+            var = jnp.sum(e_sq, axis=(0, 1)) / cnt - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        a = scale * jax.lax.rsqrt(var + self.eps)       # [C]
+        b = bias - mean * a
+        ext = jnp.where(a[None, None, :] >= 0, nb_max, nb_min) + yx
+        return nn.leaky_relu(a[None, None, :] * ext + b[None, None, :],
+                             self.negative_slope)
 
 
 class SplineNet(nn.Module):

@@ -59,6 +59,44 @@ def main():
                 pred = SegmentationPrediction(
                     lab, jnp.argmax(prim_logp[0], -1), emb[0],
                     jnp.float32(1.0), jnp.float32(1.0), jnp.int32(0))
+            elif "lapid" in ablate:
+                # full predict but the Hungarian solve replaced by the
+                # identity assignment: isolates the auction while_loop cost
+                # from the rest of the SIOU computation
+                from parsenet_tpu.ops.segmentation import (
+                    primitive_type_per_segment, remap_primitive_labels,
+                    K_MAX)
+                emb, prim_logp = apply_fn(x[None])
+                emb = emb[0]
+                pred_prim = jnp.argmax(prim_logp[0], -1)
+                embn = emb / (jnp.linalg.norm(emb, -1, keepdims=True) + 1e-12)
+                ms = guard_mean_shift(
+                    embn, 0.015, key=k1, num_samples=5000, iterations=50,
+                    use_pallas=True, pallas_bf16=True, differentiable=False)
+                from parsenet_tpu.ops.segmentation import relaxed_iou
+                gt_prim = remap_primitive_labels(pr)
+                pp = remap_primitive_labels(pred_prim)
+                gt_oh = to_one_hot(lab)
+                pred_oh = to_one_hot(ms.labels)
+                cost = 1.0 - relaxed_iou(pred_oh, gt_oh)
+                col_of_row = jnp.arange(K_MAX) + jnp.int32(
+                    jnp.sum(cost) * 0)  # identity "assignment"
+                pred_counts = jnp.sum(pred_oh, axis=0)
+                gt_counts = jnp.sum(gt_oh, axis=0)
+                inter = jnp.dot(pred_oh.T, gt_oh)
+                r_ = jnp.arange(K_MAX)
+                pair_inter = inter[r_, col_of_row]
+                pair_union = pred_counts + gt_counts[col_of_row] - pair_inter
+                iou = pair_inter / (pair_union + 1e-8)
+                v = (pred_counts > 0) & (gt_counts[col_of_row] >= 100)
+                si = jnp.sum(iou * v) / (jnp.sum(v) + 1e-8)
+                prim_oh = jax.nn.one_hot(pp, 10, dtype=jnp.float32)
+                spt = primitive_type_per_segment(prim_oh, pred_oh)
+                gt_prim_oh = jax.nn.one_hot(gt_prim, 10, dtype=jnp.float32)
+                gst = jnp.argmax(jnp.dot(gt_oh.T, gt_prim_oh), axis=1)
+                pi = jnp.sum((spt == gst[col_of_row]) * v) / (jnp.sum(v) + 1e-8)
+                pred = SegmentationPrediction(ms.labels, pred_prim, emb, si,
+                                              pi, ms.num_clusters)
             elif ("nosiou" in ablate or "ms10" in ablate
                   or "noattempt" in ablate or "bf16" in ablate):
                 emb, prim_logp = apply_fn(x[None])
@@ -68,8 +106,7 @@ def main():
                 iters = 10 if "ms10" in ablate else 50
                 ms = guard_mean_shift(
                     embn, 0.015, key=k1, num_samples=5000, iterations=iters,
-                    use_pallas=True, attempt_iterations=10,
-                    pallas_bf16="bf16" in ablate,
+                    use_pallas=True, pallas_bf16=True, differentiable=False,
                     max_doublings=0 if "noattempt" in ablate else 8)
                 if "nosiou" in ablate:
                     si = pi = jnp.float32(0.0)
@@ -100,12 +137,8 @@ def main():
 
     variants = {
         "full": (),
-        "no-recon": ("recon",),
-        # recon stays ON in these so the labels (hence mean-shift) are live
         "no-siou (recon on)": ("nosiou",),
-        "no-attempt (recon on)": ("noattempt",),
-        "ms-bf16 (recon on)": ("bf16",),
-        "ms-bf16 no-recon": ("bf16", "ms10x5", "recon"),
+        "identity-lap (recon on)": ("lapid",),
     }
     fns = {name: make(a) for name, a in variants.items()}
     # compile/warm all

@@ -107,6 +107,68 @@ class TestDGCNN:
                                        rtol=1e-3, atol=1e-4)
 
 
+class TestEdgeConvBN:
+    def test_fused_matches_batchnorm_train_and_eval(self, rng):
+        """The fused EdgeConvBN must equal the materialized
+        gather + nn.BatchNorm + LReLU + max formulation in BOTH modes,
+        including running-average updates and gradients."""
+        from parsenet_tpu.models.splinenet import EdgeConvBN
+        from parsenet_tpu.ops import knn as knn_ops
+        import flax.linen as nn
+
+        x = jnp.asarray(rng.randn(3, 40, 3).astype(np.float32))
+        idx = knn_ops.knn(x, k1=4)
+        ec = EdgeConvBN(8)
+        vars_ = ec.init(jax.random.PRNGKey(0), x, idx, True)
+        p = jax.tree_util.tree_map(lambda a: a, vars_["params"])
+        p["bn"]["scale"] = jnp.asarray(rng.randn(8).astype(np.float32))
+        p["bn"]["bias"] = jnp.asarray(rng.randn(8).astype(np.float32))
+        bs = {"bn": {"mean": jnp.asarray(rng.randn(8).astype(np.float32)),
+                     "var": jnp.asarray(
+                         np.abs(rng.randn(8)).astype(np.float32) + 0.5)}}
+
+        class Manual(nn.Module):
+            @nn.compact
+            def __call__(self, x, idx, train):
+                wd = nn.Dense(8, use_bias=False, name="w_diff")
+                wx = nn.Dense(8, use_bias=False, name="w_center")
+                yd, yxx = wd(x), wx(x) - wd(x)
+                edge = knn_ops.gather_neighbors(yd, idx) + yxx[:, :, None, :]
+                edge = nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, epsilon=1e-5,
+                                    name="bn")(edge)
+                return jnp.max(nn.leaky_relu(edge, 0.2), axis=2)
+
+        man = Manual()
+        for train in (False, True):
+            out_f, mut_f = ec.apply({"params": p, "batch_stats": bs}, x, idx,
+                                    train, mutable=["batch_stats"])
+            out_m, mut_m = man.apply({"params": p, "batch_stats": bs}, x,
+                                     idx, train, mutable=["batch_stats"])
+            np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_m),
+                                       rtol=1e-4, atol=1e-5)
+            for kf, km in zip(jax.tree_util.tree_leaves(mut_f),
+                              jax.tree_util.tree_leaves(mut_m)):
+                np.testing.assert_allclose(np.asarray(kf), np.asarray(km),
+                                           rtol=1e-4, atol=1e-5)
+
+        def loss_f(q):
+            out = ec.apply({"params": q, "batch_stats": bs}, x, idx, True,
+                           mutable=["batch_stats"])[0]
+            return jnp.sum(jnp.sin(out))
+
+        def loss_m(q):
+            out = man.apply({"params": q, "batch_stats": bs}, x, idx, True,
+                            mutable=["batch_stats"])[0]
+            return jnp.sum(jnp.sin(out))
+
+        gf, gm = jax.grad(loss_f)(p), jax.grad(loss_m)(p)
+        for kf, km in zip(jax.tree_util.tree_leaves(gf),
+                          jax.tree_util.tree_leaves(gm)):
+            np.testing.assert_allclose(np.asarray(kf), np.asarray(km),
+                                       rtol=1e-3, atol=1e-4)
+
+
 class TestSplineNet:
     def test_output_range_and_shape(self, rng):
         model = SplineNet(grid=10, k=4, mode=0)
