@@ -136,7 +136,14 @@ def solve_lap(cost: jnp.ndarray, max_iter: int = 3000) -> jnp.ndarray:
     tie = _TIE * jnp.arange(n, dtype=jnp.float32)[None, :]
     park = _BETA * uniform[:, None] * jnp.eye(n, dtype=jnp.float32)
     benefit = -(cost + tie) + park
-    assignment = _auction(benefit, _EPS0, max_iter)
+    if jax.default_backend() == "tpu":
+        # whole auction inside one VMEM kernel: the XLA while_loop pays
+        # ~0.5 ms of kernel-dispatch overhead per round at n = 50
+        from .pallas_kernels import auction_assign_pallas
+        assignment = auction_assign_pallas(benefit, _EPS0, _ESC_EVERY,
+                                           _ESC, max_iter)
+    else:
+        assignment = _auction(benefit, _EPS0, max_iter)
     # Complete any still-unassigned rows (max_iter bailout mid-price-war)
     # onto the leftover columns, r-th such row -> r-th free column: the
     # result is always a valid permutation.

@@ -104,7 +104,8 @@ def mean_shift_step_pallas(m: jnp.ndarray, x: jnp.ndarray,
     return out[:n, :d]
 
 
-def _make_ms_multi_kernel(bf16_dots: bool):
+def _make_ms_multi_kernel(bf16_dots: bool, early_exit: bool = False,
+                          static_iters: int = 0):
     """ALL mean-shift iterations for one ROW_TILE block, fully in VMEM.
 
     Each shifted point's trajectory depends only on its own state and the
@@ -152,29 +153,38 @@ def _make_ms_multi_kernel(bf16_dots: bool):
             norm = jnp.sqrt(jnp.sum(new_m * new_m, axis=1, keepdims=True))
             return new_m / (norm + 1e-12)
 
-        # Early exit once this row tile's update falls below tol (the shift
-        # map is contractive near the modes, so most tiles converge well
-        # before the fixed reference iteration count; tol <= 0 disables the
-        # exit and reproduces the fixed-count loop exactly).
-        def w_cond(state):
-            it, _, delta = state
-            return (it < iterations) & (delta > tol)
+        # early_exit=False (the default): STATIC fori_loop. A
+        # data-dependent while_loop makes the kernel's duration dynamic,
+        # which stalls the streamed axon runtime's pipeline even when the
+        # loop work is unchanged — static trip counts keep it full.
+        if not early_exit:
+            # static_iters is a PYTHON int: the trip count is baked into
+            # the kernel (a traced bound would lower to a while again)
+            out_ref[:] = lax.fori_loop(
+                0, static_iters, lambda i, m: one_iter(m), m_ref[:],
+                unroll=False)
+        else:
+            def w_cond(state):
+                it, _, delta = state
+                return (it < iterations) & (delta > tol)
 
-        def w_body(state):
-            it, m, _ = state
-            new_m = one_iter(m)
-            delta = jnp.max(jnp.abs(new_m - m))
-            return it + 1, new_m, delta
+            def w_body(state):
+                it, m, _ = state
+                new_m = one_iter(m)
+                delta = jnp.max(jnp.abs(new_m - m))
+                return it + 1, new_m, delta
 
-        _, m_fin, _ = lax.while_loop(
-            w_cond, w_body, (jnp.int32(0), m_ref[:], jnp.float32(jnp.inf)))
-        out_ref[:] = m_fin
+            _, m_fin, _ = lax.while_loop(
+                w_cond, w_body,
+                (jnp.int32(0), m_ref[:], jnp.float32(jnp.inf)))
+            out_ref[:] = m_fin
 
     return kernel
 
 
-_ms_multi_kernel = _make_ms_multi_kernel(False)
-_ms_multi_kernel_bf16 = _make_ms_multi_kernel(True)
+@functools.lru_cache(maxsize=None)
+def _ms_kernel_for(bf16_dots: bool, early_exit: bool, static_iters: int):
+    return _make_ms_multi_kernel(bf16_dots, early_exit, static_iters)
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "interpret",
@@ -200,7 +210,7 @@ def mean_shift_iterations_pallas(X: jnp.ndarray, bandwidth: jnp.ndarray,
     scalars = scalars.at[0, 3].set(jnp.float32(tol))
     n_rows = x_p.shape[0]
     out = pl.pallas_call(
-        _ms_multi_kernel_bf16 if bf16_dots else _ms_multi_kernel,
+        _ms_kernel_for(bf16_dots, tol > 0.0, int(iterations)),
         grid=(n_rows // ROW_TILE,),
         in_specs=[
             pl.BlockSpec((1, 128), lambda i: (0, 0),
@@ -225,6 +235,115 @@ def mean_shift_iterations_pallas(X: jnp.ndarray, bandwidth: jnp.ndarray,
 
 def pallas_available() -> bool:
     return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# In-VMEM auction assignment.
+#
+# The XLA while_loop auction costs ~0.5 ms per round on the serial path
+# (each round is ~6 tiny [n, n] kernels; per-kernel dispatch dominates at
+# n = 50). Running ALL rounds inside one kernel keeps the whole state in
+# VMEM: a round becomes a handful of [n, n] vector ops, so the typical
+# 3-35-round solve drops from ~17 ms to microseconds. Same algorithm as
+# ops.hungarian: aggressive first-price bids, escalating eps, parking
+# bonus handled by the caller (it is baked into the benefit matrix).
+# ---------------------------------------------------------------------------
+
+_AUCTION_NEG = -1e9
+_AUCTION_ROUNDS = 512
+
+
+def _auction_kernel(benefit_ref, scalar_ref, out_ref):
+    n = benefit_ref.shape[0]
+    benefit = benefit_ref[:]
+    eps0 = scalar_ref[0, 0]
+    esc_every = scalar_ref[0, 1].astype(jnp.int32)
+    esc = scalar_ref[0, 2]
+    max_iter = scalar_ref[0, 3].astype(jnp.int32)
+    col = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    pid = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def body(st):
+        obj, prices, it, eps = st          # obj [n,1] i32, prices [1,n] f32
+        unas = obj < 0
+        vals = benefit - prices            # [n, n]
+        m1 = jnp.max(vals, axis=1, keepdims=True)
+        a1 = jnp.argmax(vals, axis=1).reshape(n, 1)
+        # f32 one-hot masks: Mosaic rejects i1 select/sum chains, and all
+        # index values here are < 2^24, exactly representable in f32
+        oh = (col == a1).astype(jnp.float32)
+        m2 = jnp.max(vals - oh * 2.0 * jnp.abs(_AUCTION_NEG), axis=1,
+                     keepdims=True)
+        price_a1 = jnp.sum(oh * prices, axis=1, keepdims=True)
+        bid = jnp.where(unas, price_a1 + (m1 - m2) + eps, _AUCTION_NEG)
+        bid_mat = oh * bid + (1.0 - oh) * _AUCTION_NEG
+        obj_best = jnp.max(bid_mat, axis=0, keepdims=True)     # [1, n]
+        winner_f = jnp.argmax(bid_mat, axis=0).reshape(1, n).astype(
+            jnp.float32)
+        got_bid_f = (obj_best > _AUCTION_NEG / 2).astype(jnp.float32)
+        own_oh = (col == obj).astype(jnp.float32)  # -1 -> all-zero row
+        got_owned = jnp.sum(own_oh * got_bid_f, axis=1, keepdims=True) > 0
+        winner_owned = jnp.sum(own_oh * winner_f, axis=1,
+                               keepdims=True).astype(jnp.int32)
+        evicted = (obj >= 0) & got_owned & (winner_owned != pid)
+        obj = jnp.where(evicted, -1, obj)
+        winner_a1 = jnp.sum(oh * winner_f, axis=1,
+                            keepdims=True).astype(jnp.int32)
+        win = unas & (winner_a1 == pid)
+        obj = jnp.where(win, a1, obj)
+        prices = got_bid_f * obj_best + (1.0 - got_bid_f) * prices
+        it = it + 1
+        eps = jnp.where(it % esc_every == 0, eps * esc, eps)
+        return obj, prices, it, eps
+
+    init = (jnp.full((n, 1), -1, jnp.int32),
+            jnp.full((1, n), 0.0, jnp.float32),
+            jnp.int32(0), eps0)
+    # STATIC trip count: once everyone is assigned a round is a provable
+    # no-op (no bids), and a data-dependent while would make the kernel's
+    # duration dynamic, stalling the streamed runtime's pipeline. 512
+    # rounds covers every instance family in the tests (realistic SIOU
+    # matrices need 3-35; random dense 50x50 up to ~500 with escalation).
+    obj, _, _, _ = lax.fori_loop(0, _AUCTION_ROUNDS,
+                                 lambda i, st: body(st), init)
+    out_ref[:] = obj
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def auction_assign_pallas(benefit: jnp.ndarray, eps0: float,
+                          esc_every: int, esc: float, max_iter: int,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Forward auction on a prepared benefit matrix [n, n] (higher =
+    better), entirely inside one kernel. Returns obj_of_person [n] int32
+    (-1 on max_iter bailout; caller completes)."""
+    n = benefit.shape[0]
+    n_pad = max(8, -(-n // 8) * 8)
+    b = jnp.full((n_pad, n_pad), jnp.float32(-1e6))
+    b = b.at[:n, :n].set(benefit.astype(jnp.float32))
+    if n_pad > n:
+        # padding persons park on their own padding objects instantly
+        pad = jnp.arange(n, n_pad)
+        b = b.at[pad, pad].set(-1e6 + 1.0)
+    scalars = jnp.zeros((1, 128), jnp.float32)
+    scalars = scalars.at[0, 0].set(jnp.float32(eps0))
+    scalars = scalars.at[0, 1].set(jnp.asarray(esc_every, jnp.float32))
+    scalars = scalars.at[0, 2].set(jnp.float32(esc))
+    scalars = scalars.at[0, 3].set(jnp.asarray(max_iter, jnp.float32))
+    out = pl.pallas_call(
+        _auction_kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((n_pad, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_pad, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        interpret=interpret,
+    )(b, scalars)
+    return out[:n, 0]
 
 
 # ---------------------------------------------------------------------------

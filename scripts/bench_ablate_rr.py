@@ -59,7 +59,7 @@ def main():
                 pred = SegmentationPrediction(
                     lab, jnp.argmax(prim_logp[0], -1), emb[0],
                     jnp.float32(1.0), jnp.float32(1.0), jnp.int32(0))
-            elif "lapid" in ablate:
+            elif "lapid" in ablate or "lapnofill" in ablate:
                 # full predict but the Hungarian solve replaced by the
                 # identity assignment: isolates the auction while_loop cost
                 # from the rest of the SIOU computation
@@ -79,8 +79,27 @@ def main():
                 gt_oh = to_one_hot(lab)
                 pred_oh = to_one_hot(ms.labels)
                 cost = 1.0 - relaxed_iou(pred_oh, gt_oh)
-                col_of_row = jnp.arange(K_MAX) + jnp.int32(
-                    jnp.sum(cost) * 0)  # identity "assignment"
+                if "lapnofill" in ablate:
+                    # benefit prep + pallas auction kernel, but identity
+                    # instead of the completion fill: isolates the fill
+                    from parsenet_tpu.ops.hungarian import (_TIE, _BETA,
+                                                            _EPS0,
+                                                            _ESC_EVERY, _ESC)
+                    from parsenet_tpu.ops.pallas_kernels import (
+                        auction_assign_pallas)
+                    c32 = cost.astype(jnp.float32)
+                    span = jnp.max(c32, 1) - jnp.min(c32, 1)
+                    uni = span <= 1e-6
+                    tie = _TIE * jnp.arange(K_MAX, dtype=jnp.float32)[None]
+                    park = _BETA * uni[:, None] * jnp.eye(K_MAX)
+                    ben = -(c32 + tie) + park
+                    asg = auction_assign_pallas(ben, _EPS0, _ESC_EVERY,
+                                                _ESC, 3000)
+                    col_of_row = jnp.arange(K_MAX) + jnp.int32(
+                        jnp.sum(asg) * 0)
+                else:
+                    col_of_row = jnp.arange(K_MAX) + jnp.int32(
+                        jnp.sum(cost) * 0)  # identity "assignment"
                 pred_counts = jnp.sum(pred_oh, axis=0)
                 gt_counts = jnp.sum(gt_oh, axis=0)
                 inter = jnp.dot(pred_oh.T, gt_oh)
@@ -137,8 +156,8 @@ def main():
 
     variants = {
         "full": (),
-        "no-siou (recon on)": ("nosiou",),
         "identity-lap (recon on)": ("lapid",),
+        "kernel-no-fill (recon on)": ("lapnofill",),
     }
     fns = {name: make(a) for name, a in variants.items()}
     # compile/warm all

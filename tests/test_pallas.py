@@ -81,6 +81,50 @@ class TestMeanShiftKernel:
         assert np.abs(out[0] - out[40]).max() > 0.5
 
 
+class TestAuctionKernel:
+    def test_matches_scipy(self, rng):
+        from parsenet_tpu.ops.pallas_kernels import auction_assign_pallas
+        from parsenet_tpu.ops import hungarian as hg
+        for n in (10, 50):
+            for t in range(3):
+                cost = rng.rand(n, n).astype(np.float32)
+                tie = hg._TIE * np.arange(n, dtype=np.float32)[None, :]
+                benefit = jnp.asarray(-(cost + tie))
+                a = np.asarray(auction_assign_pallas(
+                    benefit, hg._EPS0, hg._ESC_EVERY, hg._ESC, 3000,
+                    interpret=True))
+                assert sorted(a.tolist()) == list(range(n)), "not a perm"
+                rid, cid = hg.solve_lap_host(cost)
+                # random dense 50x50 instances can run past one or two eps
+                # escalations (x8 per 150 rounds), so the optimality bound
+                # is n * eps_escalated ~ 4e-3, not n * eps0
+                np.testing.assert_allclose(
+                    cost[np.arange(n), a].sum(), cost[rid, cid].sum(),
+                    atol=5e-3)
+
+    def test_padded_uniform_rows(self, rng):
+        """SIOU-structured matrix with empty (uniform) rows through the
+        kernel, including the n -> n_pad persons/objects padding."""
+        from parsenet_tpu.ops.pallas_kernels import auction_assign_pallas
+        from parsenet_tpu.ops import hungarian as hg
+        n = 50
+        cost = np.ones((n, n), np.float32)
+        # 8 real segments with strong diagonal preference, rest uniform
+        for i in range(8):
+            cost[i, (i * 3) % n] = 0.1 * i / 8.0
+        uniform = (cost.max(1) - cost.min(1)) <= 1e-6
+        tie = hg._TIE * np.arange(n, dtype=np.float32)[None, :]
+        park = hg._BETA * uniform[:, None] * np.eye(n, dtype=np.float32)
+        benefit = jnp.asarray(-(cost + tie) + park)
+        a = np.asarray(auction_assign_pallas(
+            benefit, hg._EPS0, hg._ESC_EVERY, hg._ESC, 3000,
+            interpret=True))
+        assert sorted(a.tolist()) == list(range(n))
+        rid, cid = hg.solve_lap_host(cost)
+        np.testing.assert_allclose(cost[np.arange(n), a].sum(),
+                                   cost[rid, cid].sum(), atol=2e-3)
+
+
 class TestMinSqdistKernel:
     def test_matches_xla(self, rng):
         from parsenet_tpu.ops.chamfer import min_sqdist
