@@ -74,13 +74,17 @@ def predict_segmentation(apply_fn: Callable, x: jnp.ndarray,
     # differentiable=False: every guard attempt runs at full strength and
     # IS the result when accepted (exactly the reference's guard,
     # mean_shift.py:81-96) — one mean-shift + one NMS in the common
-    # no-escalation case. bf16 kernel dots: validated label-identical to
-    # f32 on trained embeddings (f32 accumulation; the shift map is
-    # contractive toward the modes).
+    # no-escalation case. ms_bf16: single-pass bf16 kernel dots, a perf
+    # knob the bench opts into (label-identical on its trained eval
+    # stream, guarded by quality floors). LIBRARY default is f32 — the
+    # N=2048/D=128 fuzz (tests/test_ms_bf16_scale.py) shows bf16 can
+    # perturb mode boundaries when escalation inflates the bandwidth
+    # (cluster count +/-1, co-membership agreement >= 0.88), so parity
+    # paths keep reference numerics.
     ms = guard_mean_shift(embn, quantile, key=key,
                           num_samples=ms_num_samples, iterations=iterations,
                           use_pallas=pallas_available(),
-                          pallas_bf16=ms_bf16 or pallas_available(),
+                          pallas_bf16=ms_bf16,
                           differentiable=False)
     w = to_one_hot(ms.labels)
     seg_iou, prim_iou = siou_matched_segments(gt_labels, ms.labels,

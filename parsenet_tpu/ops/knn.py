@@ -54,15 +54,19 @@ def pairwise_sqdist(q: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return qq - 2.0 * inner + xx.T
 
 
-APPROX_RECALL = float(os.environ.get("PARSENET_KNN_RECALL", "0.85"))
+APPROX_RECALL = float(os.environ.get("PARSENET_KNN_RECALL", "0.95"))
 # approx_max_k recall vs throughput on v5e ([10k,10k], k=80): 0.99 ~59 ms,
 # 0.95 ~10 ms, 0.85 is another ~36 ms/shape faster across the 3 EdgeConv
-# stages + spline decoder of the full pipeline. Quality on the trained
-# checkpoint at 0.85 vs 0.95: seg IoU 0.862 vs 0.857, per-shape residuals
-# track within +/-10% both directions (clustering-boundary noise, one
-# outlier shape) — EdgeConv max-aggregation is insensitive to missed
-# neighbours. Set PARSENET_KNN_RECALL or exact=True to restore exactness;
-# re-validate quality whenever this changes.
+# stages + spline decoder of the full pipeline. The LIBRARY default is 0.95
+# (quality-safe: measured 1.0000 neighbour overlap on trained shapes);
+# throughput entry points (bench.py) opt into 0.85 via PARSENET_KNN_RECALL,
+# where the trained-checkpoint A/B showed seg IoU 0.862 vs 0.857 and
+# per-shape residuals within +/-10% both directions under the bench quality
+# floors. Parity harnesses force exact kNN via PARSENET_KNN_EXACT=1
+# (scripts/validate_reference.py) regardless of the recall env.
+EXACT_DEFAULT = os.environ.get("PARSENET_KNN_EXACT", "0") == "1"
+# NOTE: both env knobs are read at import/first-trace time; set them before
+# the first knn() call (jit caches bake the values in).
 
 
 def _topk_neighbors(neg_dist_chunk: jnp.ndarray, k2: int, stride: int,
@@ -132,6 +136,7 @@ def knn(x: jnp.ndarray, k1: int, k2: Optional[int] = None, chunk: int = 0,
     """
     k2 = k2 or k1
     c = chunk or _row_chunks(x.shape[1])
+    exact = exact or EXACT_DEFAULT
     idx = jax.vmap(lambda xb: _knn_single(xb, k1, k2, c, exact))(x)
     return lax.stop_gradient(idx)
 
@@ -142,6 +147,7 @@ def knn_points_normals(x: jnp.ndarray, k1: int, k2: Optional[int] = None,
     """Batched joint point/normal kNN. x: [B, N, 6] -> [B, N, k1]."""
     k2 = k2 or k1
     c = chunk or _row_chunks(x.shape[1])
+    exact = exact or EXACT_DEFAULT
     idx = jax.vmap(lambda xb: _knn_pn_single(xb, k1, k2, c, exact))(x)
     return lax.stop_gradient(idx)
 

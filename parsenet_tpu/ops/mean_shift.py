@@ -188,11 +188,13 @@ def nms(shifted: jnp.ndarray, X: jnp.ndarray, bandwidth: jnp.ndarray):
     return center_mask, labels, num_clusters
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples", "iterations",
+@functools.partial(jax.jit, static_argnames=("quantile", "num_samples",
+                                             "iterations",
                                              "kernel", "max_clusters",
                                              "max_doublings", "use_pallas",
                                              "attempt_iterations",
                                              "pallas_bf16", "pallas_tol",
+                                             "pallas_interpret",
                                              "differentiable"))
 def guard_mean_shift(X: jnp.ndarray, quantile: float,
                      key: Optional[jax.Array] = None,
@@ -203,6 +205,7 @@ def guard_mean_shift(X: jnp.ndarray, quantile: float,
                      attempt_iterations: Optional[int] = None,
                      pallas_bf16: bool = False,
                      pallas_tol: float = 0.0,
+                     pallas_interpret: bool = False,
                      differentiable: bool = True) -> MeanShiftResult:
     """Mean-shift with bandwidth escalation until <= max_clusters clusters
     (reference: src/mean_shift.py:81-96). Bounded while_loop, one compile.
@@ -230,20 +233,22 @@ def guard_mean_shift(X: jnp.ndarray, quantile: float,
     att_iters = attempt_iterations or iterations
 
     if use_pallas and kernel == "gaussian":
-        # fused flash-style TPU kernel (forward-only; inference path)
+        # fused flash-style TPU kernel (forward-only; inference path).
+        # pallas_interpret=True runs it as interpreted jax ops so CPU tests
+        # can exercise this exact code path.
         from .pallas_kernels import mean_shift_iterations_pallas
         shift_fn = lambda xx, bw, it: mean_shift_iterations_pallas(
-            xx, bw, it, bf16_dots=pallas_bf16, tol=pallas_tol)
+            xx, bw, it, bf16_dots=pallas_bf16, tol=pallas_tol,
+            interpret=pallas_interpret)
     else:
         shift_fn = lambda xx, bw, it: mean_shift_iterations(xx, bw, it, kernel)
 
+    # quantile is a STATIC argname (all call sites pass Python floats), so
+    # the initial bandwidth always uses the partial-selection fast path —
+    # no full [S, S] row sort; only the (rare) escalation loop pays the
+    # sort-free binary-search statistic at a traced quantile.
     q0 = jnp.asarray(quantile, jnp.float32)
-    if isinstance(quantile, (int, float)):
-        # static quantile (the eval pipeline): partial selection, no sort
-        bw0 = _initial_bandwidth(d_sub, float(quantile))
-    else:
-        # traced quantile: dynamic k -> sort-free binary-search statistic
-        bw0 = _escalation_bandwidth(d_sub, q0)
+    bw0 = _initial_bandwidth(d_sub, float(quantile))
 
     if not differentiable:
         def full(bw):
@@ -289,10 +294,12 @@ def guard_mean_shift(X: jnp.ndarray, quantile: float,
         # on no-grad paths — it does not; the graphs stay separate and the
         # bench lost 14 ms/shape. Use differentiable=False instead.)
         cond, body, (jnp.int32(0), q0, bw0, attempt(bw0, att_iters)))
-    if use_pallas and kernel == "gaussian":
-        shifted = shift_fn(X, bw, iterations)
-    else:
-        shifted = mean_shift_iterations(X, bw, iterations, kernel)
+    # The accepted re-run must carry gradients, and the Pallas kernel is
+    # forward-only (no VJP) — so the differentiable final pass ALWAYS takes
+    # the XLA path; use_pallas still accelerates the stop-gradient
+    # escalation attempts above. (Differentiating shift_fn(X, ...) here
+    # would be a TPU-only trace error.)
+    shifted = mean_shift_iterations(X, bw, iterations, kernel)
     center_mask, labels, k = nms(lax.stop_gradient(shifted), X_ng, bw)
     return MeanShiftResult(shifted, center_mask, labels, bw, k)
 

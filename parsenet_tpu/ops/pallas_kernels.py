@@ -250,72 +250,86 @@ def pallas_available() -> bool:
 # ---------------------------------------------------------------------------
 
 _AUCTION_NEG = -1e9
-_AUCTION_ROUNDS = 512
+_AUCTION_ROUNDS = 512  # kernel round cap: with eps escalation every tested
+# instance family terminates well inside it (realistic SIOU 3-35 rounds,
+# random dense 50x50 ~500); callers asking for more fall through to the
+# rank-fill completion in ops.hungarian.solve_lap.
 
 
-def _auction_kernel(benefit_ref, scalar_ref, out_ref):
-    n = benefit_ref.shape[0]
-    benefit = benefit_ref[:]
-    eps0 = scalar_ref[0, 0]
-    esc_every = scalar_ref[0, 1].astype(jnp.int32)
-    esc = scalar_ref[0, 2]
-    max_iter = scalar_ref[0, 3].astype(jnp.int32)
-    col = lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    pid = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+def _make_auction_kernel(rounds: int):
+    """Auction kernel with a STATIC trip count = min(max_iter, cap): a
+    data-dependent while would make the kernel's duration dynamic and stall
+    the streamed runtime's pipeline; once everyone is assigned a round is a
+    provable no-op (no bids), so extra rounds only cost predictable math."""
 
-    def body(st):
-        obj, prices, it, eps = st          # obj [n,1] i32, prices [1,n] f32
-        unas = obj < 0
-        vals = benefit - prices            # [n, n]
-        m1 = jnp.max(vals, axis=1, keepdims=True)
-        a1 = jnp.argmax(vals, axis=1).reshape(n, 1)
-        # f32 one-hot masks: Mosaic rejects i1 select/sum chains, and all
-        # index values here are < 2^24, exactly representable in f32
-        oh = (col == a1).astype(jnp.float32)
-        m2 = jnp.max(vals - oh * 2.0 * jnp.abs(_AUCTION_NEG), axis=1,
-                     keepdims=True)
-        price_a1 = jnp.sum(oh * prices, axis=1, keepdims=True)
-        bid = jnp.where(unas, price_a1 + (m1 - m2) + eps, _AUCTION_NEG)
-        bid_mat = oh * bid + (1.0 - oh) * _AUCTION_NEG
-        obj_best = jnp.max(bid_mat, axis=0, keepdims=True)     # [1, n]
-        winner_f = jnp.argmax(bid_mat, axis=0).reshape(1, n).astype(
-            jnp.float32)
-        got_bid_f = (obj_best > _AUCTION_NEG / 2).astype(jnp.float32)
-        own_oh = (col == obj).astype(jnp.float32)  # -1 -> all-zero row
-        got_owned = jnp.sum(own_oh * got_bid_f, axis=1, keepdims=True) > 0
-        winner_owned = jnp.sum(own_oh * winner_f, axis=1,
-                               keepdims=True).astype(jnp.int32)
-        evicted = (obj >= 0) & got_owned & (winner_owned != pid)
-        obj = jnp.where(evicted, -1, obj)
-        winner_a1 = jnp.sum(oh * winner_f, axis=1,
-                            keepdims=True).astype(jnp.int32)
-        win = unas & (winner_a1 == pid)
-        obj = jnp.where(win, a1, obj)
-        prices = got_bid_f * obj_best + (1.0 - got_bid_f) * prices
-        it = it + 1
-        eps = jnp.where(it % esc_every == 0, eps * esc, eps)
-        return obj, prices, it, eps
+    def _auction_kernel(benefit_ref, scalar_ref, out_ref):
+        n = benefit_ref.shape[0]
+        benefit = benefit_ref[:]
+        eps0 = scalar_ref[0, 0]
+        esc_every = scalar_ref[0, 1].astype(jnp.int32)
+        esc = scalar_ref[0, 2]
+        col = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        pid = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
-    init = (jnp.full((n, 1), -1, jnp.int32),
-            jnp.full((1, n), 0.0, jnp.float32),
-            jnp.int32(0), eps0)
-    # STATIC trip count: once everyone is assigned a round is a provable
-    # no-op (no bids), and a data-dependent while would make the kernel's
-    # duration dynamic, stalling the streamed runtime's pipeline. 512
-    # rounds covers every instance family in the tests (realistic SIOU
-    # matrices need 3-35; random dense 50x50 up to ~500 with escalation).
-    obj, _, _, _ = lax.fori_loop(0, _AUCTION_ROUNDS,
-                                 lambda i, st: body(st), init)
-    out_ref[:] = obj
+        def body(st):
+            obj, prices, it, eps = st      # obj [n,1] i32, prices [1,n] f32
+            unas = obj < 0
+            vals = benefit - prices        # [n, n]
+            m1 = jnp.max(vals, axis=1, keepdims=True)
+            a1 = jnp.argmax(vals, axis=1).reshape(n, 1)
+            # f32 one-hot masks: Mosaic rejects i1 select/sum chains, and
+            # all index values here are < 2^24, exactly representable in f32
+            oh = (col == a1).astype(jnp.float32)
+            m2 = jnp.max(vals - oh * 2.0 * jnp.abs(_AUCTION_NEG), axis=1,
+                         keepdims=True)
+            price_a1 = jnp.sum(oh * prices, axis=1, keepdims=True)
+            bid = jnp.where(unas, price_a1 + (m1 - m2) + eps, _AUCTION_NEG)
+            bid_mat = oh * bid + (1.0 - oh) * _AUCTION_NEG
+            obj_best = jnp.max(bid_mat, axis=0, keepdims=True)     # [1, n]
+            winner_f = jnp.argmax(bid_mat, axis=0).reshape(1, n).astype(
+                jnp.float32)
+            got_bid_f = (obj_best > _AUCTION_NEG / 2).astype(jnp.float32)
+            own_oh = (col == obj).astype(jnp.float32)  # -1 -> all-zero row
+            got_owned = jnp.sum(own_oh * got_bid_f, axis=1,
+                                keepdims=True) > 0
+            winner_owned = jnp.sum(own_oh * winner_f, axis=1,
+                                   keepdims=True).astype(jnp.int32)
+            evicted = (obj >= 0) & got_owned & (winner_owned != pid)
+            obj = jnp.where(evicted, -1, obj)
+            winner_a1 = jnp.sum(oh * winner_f, axis=1,
+                                keepdims=True).astype(jnp.int32)
+            win = unas & (winner_a1 == pid)
+            obj = jnp.where(win, a1, obj)
+            prices = got_bid_f * obj_best + (1.0 - got_bid_f) * prices
+            it = it + 1
+            eps = jnp.where(it % esc_every == 0, eps * esc, eps)
+            return obj, prices, it, eps
+
+        init = (jnp.full((n, 1), -1, jnp.int32),
+                jnp.full((1, n), 0.0, jnp.float32),
+                jnp.int32(0), eps0)
+        obj, _, _, _ = lax.fori_loop(0, rounds,
+                                     lambda i, st: body(st), init)
+        out_ref[:] = obj
+
+    return _auction_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.lru_cache(maxsize=None)
+def _auction_kernel_for(rounds: int):
+    return _make_auction_kernel(rounds)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "interpret"))
 def auction_assign_pallas(benefit: jnp.ndarray, eps0: float,
                           esc_every: int, esc: float, max_iter: int,
                           interpret: bool = False) -> jnp.ndarray:
     """Forward auction on a prepared benefit matrix [n, n] (higher =
-    better), entirely inside one kernel. Returns obj_of_person [n] int32
-    (-1 on max_iter bailout; caller completes)."""
+    better), entirely inside one kernel. The kernel's STATIC trip count is
+    min(max_iter, _AUCTION_ROUNDS): max_iter below the cap is honored
+    exactly; budgets above it are clamped (eps escalation terminates every
+    tested instance family well inside the cap). Returns obj_of_person [n]
+    int32 (-1 on bailout; caller completes)."""
     n = benefit.shape[0]
     n_pad = max(8, -(-n // 8) * 8)
     b = jnp.full((n_pad, n_pad), jnp.float32(-1e6))
@@ -328,9 +342,8 @@ def auction_assign_pallas(benefit: jnp.ndarray, eps0: float,
     scalars = scalars.at[0, 0].set(jnp.float32(eps0))
     scalars = scalars.at[0, 1].set(jnp.asarray(esc_every, jnp.float32))
     scalars = scalars.at[0, 2].set(jnp.float32(esc))
-    scalars = scalars.at[0, 3].set(jnp.asarray(max_iter, jnp.float32))
     out = pl.pallas_call(
-        _auction_kernel,
+        _auction_kernel_for(min(int(max_iter), _AUCTION_ROUNDS)),
         grid=(1,),
         in_specs=[
             pl.BlockSpec((n_pad, n_pad), lambda i: (0, 0),

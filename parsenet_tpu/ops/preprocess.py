@@ -172,7 +172,12 @@ def eval_segment_points(points: jnp.ndarray, member: jnp.ndarray,
         keep = statistical_inliers_packed(pts, m)
         pts, m = repack(pts, keep)
         pts, m = nn_centroid_upsample(pts, m, a_max)
-        # cap the draw at a_max valid rows: the reference always hands the
-        # decoder exactly a_max points
-        m = jnp.minimum(m, a_max)
+        # Draw from the FULL post-upsample set (m may overshoot a_max when
+        # a doubling lands past the target): the first a_max rows of a
+        # uniform without-replacement permutation of all m rows are exactly
+        # the reference's law — a_max drawn uniformly without replacement
+        # from the whole doubled set (fitting_utils.py up_sample_points /
+        # primitive_forward.py:986-1036). Truncating m to a_max first would
+        # bias the draw toward original points (synthetic centroids are
+        # appended last).
     return draw_fixed(pts, m, n_out, k2)

@@ -56,7 +56,20 @@ def main():
     ap.add_argument("--no-preprocess", action="store_true",
                     help="disable eval-mode outlier removal + upsampling")
     ap.add_argument("--tolerance", type=float, default=0.01)
+    ap.add_argument("--knn-recall", default="exact",
+                    help="'exact' (default: parity runs are PINNED to exact "
+                         "kNN like the reference, src/PointNet.py:9-26, "
+                         "regardless of PARSENET_KNN_RECALL) or a recall "
+                         "float (e.g. 0.85) for throughput A/B tables")
     args = ap.parse_args()
+
+    # kNN exactness must be decided BEFORE parsenet_tpu imports (the knobs
+    # are read at import/first-trace time, ops/knn.py)
+    if args.knn_recall == "exact":
+        os.environ["PARSENET_KNN_EXACT"] = "1"
+    else:
+        os.environ["PARSENET_KNN_EXACT"] = "0"
+        os.environ["PARSENET_KNN_RECALL"] = str(float(args.knn_recall))
 
     from parsenet_tpu.core.checkpoint import Checkpointer
     from parsenet_tpu.core.config import load_config
@@ -135,7 +148,18 @@ def main():
               f"{'PASS' if ok else 'FAIL'}")
         rows.append({"metric": k, "measured": got, "expected": exp,
                      "pass": bool(ok)})
-    print(json.dumps({"n_shapes": len(agg["seg_iou"]), "rows": rows}))
+
+    # shared trained-quality floors (ONE home with bench.py)
+    with open(os.path.join(REPO, "configs", "quality_floors.json")) as f:
+        floors = json.load(f)
+    fl_ok = (float(np.mean(agg["seg_iou"])) >= floors["seg_iou_min"]
+             and float(np.mean(agg["residual"])) <= floors["residual_max"]
+             and float(np.mean(agg["sk_2"])) >= floors["sk_2_min"])
+    print(f"floors ({'PASS' if fl_ok else 'FAIL'}): "
+          f"seg_iou>={floors['seg_iou_min']} "
+          f"residual<={floors['residual_max']} sk_2>={floors['sk_2_min']}")
+    print(json.dumps({"n_shapes": len(agg["seg_iou"]), "rows": rows,
+                      "knn": args.knn_recall, "floors_ok": bool(fl_ok)}))
 
 
 if __name__ == "__main__":
