@@ -41,7 +41,10 @@ jax.config.update("jax_compilation_cache_dir",
                                  "/tmp/jax_tpu_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-NUM_POINTS = 10000
+# BENCH_POINTS < 10000 is a reduced-scale debug/CI mode (e.g. driving the
+# sharded path on the virtual CPU mesh); quality floors are calibrated at
+# the production 10k scale and only enforced there.
+NUM_POINTS = int(os.environ.get("BENCH_POINTS", "10000"))
 # re-measured after the pipeline optimizations: B=1 10.4-11.2k,
 # B=2 13.4k, B=4 14.3k, B=8 14.3k shapes/hour — the early "batching is
 # worse" result predated the pallas mean-shift + fused pipeline
@@ -132,6 +135,22 @@ def main():
     sfit = None if "splines" in ablate else spline_fit
     skip = tuple(s for s in ablate if s in ("coverage", "residual"))
 
+    # BENCH_SHARD=1: shard the shape batch over ALL devices ("data" axis of
+    # a jax.sharding.Mesh) — the north-star v5e-8 configuration run as one
+    # program instead of extrapolating single-chip rate / n_dev. Same
+    # per-shape pipeline (parsenet_tpu.eval.sharded), metric equality with
+    # the unsharded path is pytest-asserted on an 8-device CPU mesh.
+    shard = os.environ.get("BENCH_SHARD", "0") == "1" and n_dev > 1
+    mesh = None
+    if shard:
+        if ablate:
+            raise SystemExit("BENCH_SHARD and BENCH_ABLATE are exclusive")
+        if BATCH % n_dev:
+            raise SystemExit(f"BENCH_BATCH={BATCH} not divisible by "
+                             f"{n_dev} devices")
+        from parsenet_tpu.parallel.mesh import batch_sharding, make_mesh
+        mesh = make_mesh()
+
     def shape_pipeline(p, n, lab, pr, key):
         # network input built ON DEVICE: shipping concat(pts, normals)
         # separately would transfer the same 960 KB/batch twice over the
@@ -150,7 +169,8 @@ def main():
             # shapes/hour), label-identical on this trained eval stream and
             # guarded by the quality floors; library default is f32
             pred = predict_segmentation(apply_fn, x, lab, pr, k1,
-                                        ms_bf16=ms_bf16)
+                                        ms_bf16=ms_bf16,
+                                        ms_num_samples=min(5000, NUM_POINTS))
         if "recon" in ablate:
             zero = jnp.zeros(())
             return pred, zero
@@ -174,17 +194,28 @@ def main():
         return jnp.stack([jnp.sum(rec.residual), jnp.sum(pred.seg_iou),
                           jnp.sum(rec.p_cov), jnp.sum(rec.sk_2)])
 
-    batched = jax.jit(batch_metrics)
+    if shard:
+        from parsenet_tpu.eval.sharded import make_batched_eval
+        batched = make_batched_eval(
+            apply_fn, spline_fit, mesh=mesh,
+            ms_bf16=os.environ.get("BENCH_MS_BF16", "1") == "1",
+            ms_num_samples=min(5000, NUM_POINTS))
+        bsh = batch_sharding(mesh)
+    else:
+        batched = jax.jit(batch_metrics)
+        bsh = None
 
     def stage(b):
         """Start the host->device copies for batch b (async; overlaps the
         previous batch's compute on the tunnel)."""
         s = slice(b * BATCH, (b + 1) * BATCH) if BATCH > 1 else b
-        return tuple(jax.device_put(a[s]) for a in
+        return tuple(jax.device_put(a[s], bsh) for a in
                      (pts, normals, labels, prim))
 
     def one_batch(staged, key):
         keys = jax.random.split(key, max(BATCH, 1))
+        if shard:
+            keys = jax.device_put(keys, bsh)
         return batched(*staged, keys)
 
     # warmup/compile
@@ -221,9 +252,9 @@ def main():
     shapes_per_hour = shapes_per_sec * 3600.0
     residual = res_sum / (ITERS * BATCH)
     seg_iou = iou_sum / (ITERS * BATCH)
-    quality_ok = (not trained) or (seg_iou >= FLOOR_SEG_IOU
-                                   and residual <= CEIL_RESIDUAL
-                                   and sk2_mean >= FLOOR_SK2)
+    quality_ok = (not trained) or NUM_POINTS != 10000 or (
+        seg_iou >= FLOOR_SEG_IOU and residual <= CEIL_RESIDUAL
+        and sk2_mean >= FLOOR_SK2)
     # north star: 10,000 shapes/hour on a v5e-8 => 1,250 per chip; this bench
     # runs on n_dev real chips, so compare per-chip rate to per-chip target
     per_chip_target = 10000.0 / 8.0
