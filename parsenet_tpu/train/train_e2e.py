@@ -195,9 +195,11 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
     from ..data.prefetch import lookahead
     train_gen = lookahead(train_gen)
     with_normals = config.mode == 5
+    hp = {"dtype": jnp.bfloat16, "gather_bf16": True} \
+        if config.half_precision else {}
     model = PrimitivesEmbedding(emb_size=128, num_primitives=10,
                                 mode=5 if with_normals else 0,
-                                k=config.knn_k)
+                                k=config.knn_k, **hp)
     rng = jax.random.PRNGKey(config.seed)
     cdim = 6 if with_normals else 3
     sample = jnp.zeros((config.batch_size, 256, cdim))

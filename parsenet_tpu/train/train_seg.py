@@ -113,9 +113,14 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
     train_gen = lookahead(train_gen)
 
     with_normals = config.mode == 5
+    # half_precision: bf16 network compute + bf16 neighbour gathers (params
+    # and GroupNorm statistics stay f32) — measured 19.1 -> 24+ shapes/s on
+    # v5e with embedding quality within noise of f32 (RESULTS.md round 3)
+    hp = {"dtype": jnp.bfloat16, "gather_bf16": True} \
+        if config.half_precision else {}
     model = PrimitivesEmbedding(emb_size=128, num_primitives=10,
                                 mode=5 if with_normals else 0,
-                                k=config.knn_k)
+                                k=config.knn_k, **hp)
     rng = jax.random.PRNGKey(config.seed)
     cdim = 6 if with_normals else 3
     sample = jnp.zeros((config.batch_size, 256, cdim))

@@ -23,13 +23,35 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+# A/B knobs (env): BT_BATCH / BT_ACCUM / BT_POINTS scale the step;
+# BT_BF16=1 runs the network compute in bf16 with bf16 neighbour gathers
+# (params and GroupNorm statistics stay f32); BT_REMAT=1 rematerializes
+# EdgeConvs in the backward pass (memory for recompute at large batches).
+_BF16 = os.environ.get("BT_BF16", "0") == "1"
+_REMAT = os.environ.get("BT_REMAT", "0") == "1"
+
+
+def _model_kw():
+    import jax.numpy as jnp
+    kw = {}
+    if _BF16:
+        kw.update(dtype=jnp.bfloat16, gather_bf16=True)
+    if _REMAT:
+        kw.update(remat=True)
+    return kw
+
+
 def bench_seg(batch=2, n_points=7000, accum=3, steps=5):
     from parsenet_tpu.data.synthetic import make_shape_batch
     from parsenet_tpu.models.dgcnn import PrimitivesEmbedding
     from parsenet_tpu.train.state import create_state
     from parsenet_tpu.train.train_seg import make_step_fns
 
-    model = PrimitivesEmbedding(emb_size=128, num_primitives=10, mode=5, k=80)
+    batch = int(os.environ.get("BT_BATCH", batch))
+    accum = int(os.environ.get("BT_ACCUM", accum))
+    n_points = int(os.environ.get("BT_POINTS", n_points))
+    model = PrimitivesEmbedding(emb_size=128, num_primitives=10, mode=5, k=80,
+                                **_model_kw())
     state = create_state(model, jax.random.PRNGKey(0),
                          (jnp.zeros((batch, n_points, 6)),))
     train_step, _ = make_step_fns(model)
@@ -55,7 +77,8 @@ def bench_seg(batch=2, n_points=7000, accum=3, steps=5):
                       "value": round(shapes_s, 2), "unit": "shapes/s",
                       "detail": {"step_ms": round(dt * 1e3, 1),
                                  "batch": batch, "accum": accum,
-                                 "points": n_points,
+                                 "points": n_points, "bf16": _BF16,
+                                 "remat": _REMAT,
                                  "embed_loss": float(m["embed_loss"])}}))
 
 
@@ -65,7 +88,10 @@ def bench_e2e(batch=1, n_points=8000, steps=3):
     from parsenet_tpu.train.state import create_state
     from parsenet_tpu.train.train_e2e import build_spline_fit, make_e2e_step
 
-    model = PrimitivesEmbedding(emb_size=128, num_primitives=10, mode=5, k=80)
+    batch = int(os.environ.get("BT_BATCH", batch))
+    n_points = int(os.environ.get("BT_POINTS", n_points))
+    model = PrimitivesEmbedding(emb_size=128, num_primitives=10, mode=5, k=80,
+                                **_model_kw())
     state = create_state(model, jax.random.PRNGKey(0),
                          (jnp.zeros((batch, n_points, 6)),))
     spline_fit = build_spline_fit(grid=20)
@@ -88,6 +114,7 @@ def bench_e2e(batch=1, n_points=8000, steps=3):
                       "value": round(batch / dt, 3), "unit": "shapes/s",
                       "detail": {"step_ms": round(dt * 1e3, 1),
                                  "batch": batch, "points": n_points,
+                                 "bf16": _BF16, "remat": _REMAT,
                                  "res_loss": float(m["res_loss"]),
                                  "grad_ok": float(m["grad_ok"])}}))
 

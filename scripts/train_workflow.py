@@ -13,6 +13,9 @@ parsenet_seg_normals, parsenet_e2e. Run generate_predictions.py + test.py
 afterwards for the quality table.
 
 Usage: python scripts/train_workflow.py [stage ...]   (default: all)
+WORKFLOW_BF16=1 trains seg/e2e with half_precision (bf16 network compute,
+f32 params/statistics — core/config.py:85); quality vs f32 is part of the
+round-3 capstone A/B (RESULTS.md).
 """
 import os
 import subprocess
@@ -23,6 +26,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 STAGES = ("data", "open", "closed", "seg", "e2e")
+BF16 = ", half_precision=True" if os.environ.get("WORKFLOW_BF16") == "1" \
+    else ""
 
 
 def run_stage(name: str) -> None:
@@ -54,14 +59,14 @@ def run_stage(name: str) -> None:
             "from parsenet_tpu.train.train_seg import run_training;"
             "cfg = load_config('configs/config_parsenet_normals.yml',"
             " num_train=960, num_val=160, num_test=160, num_epochs=40,"
-            " batch_size=2);"
+            f" batch_size=2{BF16});"
             "run_training(cfg)"
         ),
         "e2e": (
             "from parsenet_tpu.core.config import load_config;"
             "from parsenet_tpu.train.train_e2e import run_training;"
             "cfg = load_config('configs/config_parsenet_e2e.yml',"
-            " num_train=180, num_val=160, num_test=160, num_epochs=10);"
+            f" num_train=180, num_val=160, num_test=160, num_epochs=10{BF16});"
             "run_training(cfg)"
         ),
     }[name]

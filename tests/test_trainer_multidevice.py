@@ -31,6 +31,23 @@ class TestSegTrainerMesh:
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
         assert int(state.step) == 4
 
+    def test_half_precision_epoch(self, tmp_path):
+        """config.half_precision=True: bf16 network compute + bf16 gathers;
+        params stay f32 (checkpoint-compatible) and the step stays finite."""
+        from parsenet_tpu.train.train_seg import run_training
+        rng = np.random.RandomState(2)
+        cfg = Config(model_path="mesh_seg_hp", num_train=16, num_val=8,
+                     num_test=8, num_epochs=1, batch_size=8, accum=1,
+                     lr=5e-3, mode=5, knn_k=4, num_devices=8,
+                     half_precision=True, log_dir=str(tmp_path))
+        state = run_training(
+            cfg, train_gen=abc_gen(rng, 8, 128),
+            val_gen=abc_gen(rng, 8, 128), steps_per_epoch=2, val_steps=1,
+            points_per_shape=128, num_accum=1)
+        leaves = jax.tree_util.tree_leaves(state.params)
+        assert all(l.dtype == jnp.float32 for l in leaves)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
 
 class TestE2ETrainerMesh:
     def test_two_steps_eight_devices_with_accum(self, tmp_path):
