@@ -1,0 +1,65 @@
+"""kNN-recall A/B table on the trained checkpoint (VERDICT round-2 task 2).
+
+Runs the full two-stage eval protocol (scripts/validate_reference.py) over
+the held-out test shapes at recall settings {exact, 0.95, 0.85} — each in a
+fresh subprocess because the kNN knobs are baked in at first trace
+(ops/knn.py) — and prints a markdown table quantifying the quality cost of
+the bench's 0.85 throughput default, so the library default (0.95) and the
+bench opt-in are documented tradeoffs rather than silent drift.
+
+Usage: python scripts/ab_knn_recall.py [--num-shapes 24] [--config ...]
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SETTINGS = ("exact", "0.95", "0.85")
+COLS = ("seg_iou", "prim_iou", "residual", "cov", "sk_1", "sk_2")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-shapes", type=int, default=24)
+    ap.add_argument("--config", default="configs/config_eval_final.yml")
+    ap.add_argument("--json-out", default="")
+    args = ap.parse_args()
+
+    results = {}
+    for setting in SETTINGS:
+        print(f"=== recall {setting}", flush=True)
+        env = dict(os.environ)
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+        out = subprocess.run(
+            [sys.executable, "scripts/validate_reference.py", args.config,
+             "--num-shapes", str(args.num_shapes),
+             "--knn-recall", setting],
+            cwd=REPO, env=env, capture_output=True, text=True)
+        sys.stderr.write(out.stderr[-2000:] if out.returncode else "")
+        # last JSON line carries the measured rows
+        line = next(l for l in reversed(out.stdout.splitlines())
+                    if l.startswith("{"))
+        data = json.loads(line)
+        results[setting] = {r["metric"]: r["measured"] for r in data["rows"]}
+        results[setting]["floors_ok"] = data["floors_ok"]
+        print(out.stdout[out.stdout.find("=== parity"):], flush=True)
+
+    hdr = "| recall | " + " | ".join(COLS) + " | floors |"
+    sep = "|---" * (len(COLS) + 2) + "|"
+    print("\n" + hdr + "\n" + sep)
+    for setting in SETTINGS:
+        r = results[setting]
+        cells = " | ".join(f"{r[c]:.4f}" for c in COLS)
+        print(f"| {setting} | {cells} | "
+              f"{'ok' if r['floors_ok'] else 'VIOLATED'} |")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({"num_shapes": args.num_shapes, "results": results},
+                      f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
