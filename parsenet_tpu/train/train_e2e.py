@@ -179,7 +179,15 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
                  points_per_shape: int = 8000,
                  open_vars=None, closed_vars=None,
                  pretrained_params=None,
-                 lamb: float = 0.1) -> TrainState:
+                 lamb: float = 0.1,
+                 val_shapes: Optional[int] = 16) -> TrainState:
+    """val_shapes: FIXED validation sample for best-checkpoint selection —
+    the checkpoint written on val-seg-IoU improvement is what eval harnesses
+    restore (latest == best). The reference keeps only periodic latest saves
+    (train_parsenet_e2e.py:298-306); selecting on a fixed val sample instead
+    removed a 5-point held-out IoU swing caused by scoring epochs on 2
+    streaming shapes (round-3 capstone). None = `val_steps` batches,
+    streaming, save-every-epoch (legacy behavior for the mesh tests)."""
     from ..data.abc import ABCDataset
 
     mesh = make_mesh(config.num_devices)
@@ -234,6 +242,21 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
     lr = config.lr
     mlog = MetricsLogger(config.log_dir, config.model_path)
 
+    # fixed validation sample (see docstring)
+    val_batches = []
+    if val_gen is not None and val_shapes:
+        val_rng = np.random.RandomState(config.seed + 17)
+        for i in range(max(1, -(-val_shapes // config.batch_size))):
+            vp, vl, vn, vpr = next(val_gen)
+            vsel = val_rng.choice(vp.shape[1],
+                                  min(points_per_shape, vp.shape[1]),
+                                  replace=False)
+            vx = (np.concatenate([vp[:, vsel], vn[:, vsel]], -1)
+                  if with_normals else vp[:, vsel])
+            val_batches.append((vx, vl[:, vsel], vpr[:, vsel],
+                                jax.random.PRNGKey(config.seed + 1000 + i)))
+    best_val_siou = -float("inf")
+
     for epoch in range(config.num_epochs):
         t0 = time.time()
         agg = []
@@ -269,19 +292,26 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
         if val_gen is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             vals = []
-            for _ in range(val_steps):
-                vp, vl, vn, vpr = next(val_gen)
-                vsel = host_rng.choice(vp.shape[1],
-                                       min(points_per_shape, vp.shape[1]),
-                                       replace=False)
-                vx = (np.concatenate([vp[:, vsel], vn[:, vsel]], -1)
-                      if with_normals else vp[:, vsel])
-                key, sub = jax.random.split(key)
-                bsh = batch_sharding(mesh)
-                m = eval_step(state, jax.device_put(vx, bsh),
-                              jax.device_put(vl[:, vsel], bsh),
-                              jax.device_put(vpr[:, vsel], bsh), sub)
-                vals.append({k: float(v) for k, v in m.items()})
+            bsh = batch_sharding(mesh)
+            if val_batches:
+                for vx, vl_s, vpr_s, vkey in val_batches:
+                    m = eval_step(state, jax.device_put(vx, bsh),
+                                  jax.device_put(vl_s, bsh),
+                                  jax.device_put(vpr_s, bsh), vkey)
+                    vals.append({k: float(v) for k, v in m.items()})
+            else:
+                for _ in range(val_steps):
+                    vp, vl, vn, vpr = next(val_gen)
+                    vsel = host_rng.choice(vp.shape[1],
+                                           min(points_per_shape, vp.shape[1]),
+                                           replace=False)
+                    vx = (np.concatenate([vp[:, vsel], vn[:, vsel]], -1)
+                          if with_normals else vp[:, vsel])
+                    key, sub = jax.random.split(key)
+                    m = eval_step(state, jax.device_put(vx, bsh),
+                                  jax.device_put(vl[:, vsel], bsh),
+                                  jax.device_put(vpr[:, vsel], bsh), sub)
+                    vals.append({k: float(v) for k, v in m.items()})
             tr["val_res_loss"] = float(np.mean([v["res_loss"] for v in vals]))
             tr["val_seg_iou"] = float(np.mean([v["seg_iou"] for v in vals]))
         log.info("epoch %d res %.4f (geom %.4f spline %.4f) embed %.4f "
@@ -293,6 +323,15 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
                   f"{tr['val_seg_iou']:.3f}" if "val_res_loss" in tr else ""),
                  time.time() - t0)
         mlog.log(epoch, tr)
-        ckpt.save(int(state.step), jax.device_get({"params": state.params}))
+        if val_batches:
+            # save only on fixed-val seg-IoU improvement: the manager keeps
+            # recent saves, so the LATEST step is always the BEST epoch —
+            # exactly what bench.py / validate_reference.py restore
+            if tr["val_seg_iou"] > best_val_siou:
+                best_val_siou = tr["val_seg_iou"]
+                ckpt.save(int(state.step),
+                          jax.device_get({"params": state.params}))
+        else:
+            ckpt.save(int(state.step), jax.device_get({"params": state.params}))
     ckpt.wait()
     return state

@@ -94,8 +94,18 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
                  val_gen: Optional[Iterator] = None,
                  steps_per_epoch: Optional[int] = None, val_steps: int = 4,
                  points_per_shape: int = 7000,
-                 num_accum: Optional[int] = None) -> TrainState:
-    """Generators yield (points [B,N,3], labels [B,N], normals, prim)."""
+                 num_accum: Optional[int] = None,
+                 val_shapes: Optional[int] = 32) -> TrainState:
+    """Generators yield (points [B,N,3], labels [B,N], normals, prim).
+
+    val_shapes: size of the FIXED validation sample used for best-checkpoint
+    selection and the plateau scheduler. The round-3 capstone showed why this
+    must not scale with batch_size: at batch 1 the old `val_steps=4` policy
+    scored epochs on 4 streaming shapes, and the resulting noise (val embed
+    swinging 0.07-0.30 between epochs) made best-val selection pick an
+    early-training epoch — held-out seg IoU dropped 5 points vs selecting a
+    late epoch. A fixed 32-shape sample makes epoch scores comparable.
+    None falls back to `val_steps` batches (used by the mesh tests)."""
     from ..data.abc import ABCDataset
 
     num_accum = num_accum or max(config.accum, 1)
@@ -154,6 +164,23 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
     lr = config.lr
     mlog = MetricsLogger(config.log_dir, config.model_path)
 
+    # fixed validation sample (see docstring): same shapes, same point
+    # subsample, same triplet-sampling keys every epoch — val_emb deltas
+    # then reflect the model, not the sampling
+    n_val_b = (max(1, -(-val_shapes // config.batch_size)) if val_shapes
+               else val_steps)
+    val_rng = np.random.RandomState(config.seed + 17)
+    val_batches = []
+    for i in range(n_val_b):
+        points, labels, normals, prim = next(val_gen)
+        n_keep = min(points_per_shape, points.shape[1])
+        points, labels, normals, prim = subsample_batch(
+            val_rng, [points, labels, normals, prim], n_keep)
+        xv = (np.concatenate([points, normals], -1)
+              if with_normals else points)
+        val_batches.append((xv, labels, prim,
+                            jax.random.PRNGKey(config.seed + 1000 + i)))
+
     def pack(points, labels, normals, prim, n_keep):
         n_keep = min(n_keep, points.shape[1])
         points, labels, normals, prim = subsample_batch(
@@ -178,17 +205,10 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
                 jax.device_put(prim, bsh_micro), sub, jnp.float32(lr))
             agg.append(metrics)
         vals = []
-        for _ in range(val_steps):
-            points, labels, normals, prim = next(val_gen)
-            n_keep = min(points_per_shape, points.shape[1])
-            points, labels, normals, prim = subsample_batch(
-                host_rng, [points, labels, normals, prim], n_keep)
-            xv = (np.concatenate([points, normals], -1)
-                  if with_normals else points)
-            key, sub = jax.random.split(key)
+        for xv, labels, prim, vkey in val_batches:
             m = eval_step(state, jax.device_put(xv, bsh),
                           jax.device_put(labels, bsh),
-                          jax.device_put(prim, bsh), sub)
+                          jax.device_put(prim, bsh), vkey)
             vals.append({k: float(v) for k, v in m.items()})
         val_emb = float(np.mean([v["embed_loss"] for v in vals]))
         lr = sched.step(val_emb)
