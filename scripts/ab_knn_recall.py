@@ -21,44 +21,89 @@ SETTINGS = ("exact", "0.95", "0.85")
 COLS = ("seg_iou", "prim_iou", "residual", "cov", "sk_1", "sk_2")
 
 
+def _dump(args, results):
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({"num_shapes": args.num_shapes, "results": results},
+                      f, indent=2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-shapes", type=int, default=24)
     ap.add_argument("--config", default="configs/config_eval_final.yml")
     ap.add_argument("--json-out", default="")
+    ap.add_argument("--timeout", type=float, default=5400.0,
+                    help="per-arm wall-clock budget in seconds; a wedged "
+                         "remote-compile leg must not stall the whole table")
+    ap.add_argument("--settings", default=",".join(SETTINGS),
+                    help="comma-separated arm subset, e.g. '0.95,0.85' to "
+                         "resume after a partial run")
     args = ap.parse_args()
+    settings = tuple(s for s in args.settings.split(",") if s)
 
     results = {}
-    for setting in SETTINGS:
+    # resume: keep completed arms from a previous partial json
+    if args.json_out and os.path.exists(args.json_out):
+        try:
+            with open(args.json_out) as f:
+                prior = json.load(f)
+            if prior.get("num_shapes") == args.num_shapes:
+                results.update({k: v for k, v in prior["results"].items()
+                                if "error" not in v})
+        except (ValueError, KeyError):
+            pass
+
+    for setting in settings:
+        if setting in results:
+            print(f"=== recall {setting} (cached from {args.json_out})",
+                  flush=True)
+            continue
         print(f"=== recall {setting}", flush=True)
         env = dict(os.environ)
         env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
-        out = subprocess.run(
-            [sys.executable, "scripts/validate_reference.py", args.config,
-             "--num-shapes", str(args.num_shapes),
-             "--knn-recall", setting],
-            cwd=REPO, env=env, capture_output=True, text=True)
+        try:
+            out = subprocess.run(
+                [sys.executable, "scripts/validate_reference.py", args.config,
+                 "--num-shapes", str(args.num_shapes),
+                 "--knn-recall", setting],
+                cwd=REPO, env=env, capture_output=True, text=True,
+                timeout=args.timeout)
+        except subprocess.TimeoutExpired:
+            print(f"!!! recall {setting}: timed out after {args.timeout:.0f}s",
+                  flush=True)
+            results[setting] = {"error": f"timeout {args.timeout:.0f}s"}
+            _dump(args, results)
+            continue
         sys.stderr.write(out.stderr[-2000:] if out.returncode else "")
         # last JSON line carries the measured rows
-        line = next(l for l in reversed(out.stdout.splitlines())
-                    if l.startswith("{"))
+        line = next((l for l in reversed(out.stdout.splitlines())
+                     if l.startswith("{")), None)
+        if line is None:
+            print(f"!!! recall {setting}: no result line (rc={out.returncode})",
+                  flush=True)
+            results[setting] = {"error": f"rc {out.returncode}"}
+            _dump(args, results)
+            continue
         data = json.loads(line)
         results[setting] = {r["metric"]: r["measured"] for r in data["rows"]}
         results[setting]["floors_ok"] = data["floors_ok"]
+        _dump(args, results)
         print(out.stdout[out.stdout.find("=== parity"):], flush=True)
 
     hdr = "| recall | " + " | ".join(COLS) + " | floors |"
     sep = "|---" * (len(COLS) + 2) + "|"
     print("\n" + hdr + "\n" + sep)
-    for setting in SETTINGS:
-        r = results[setting]
+    for setting in settings:
+        r = results.get(setting, {})
+        if "error" in r or not r:
+            print(f"| {setting} | " + " | ".join(["—"] * len(COLS))
+                  + f" | {r.get('error', 'missing')} |")
+            continue
         cells = " | ".join(f"{r[c]:.4f}" for c in COLS)
         print(f"| {setting} | {cells} | "
               f"{'ok' if r['floors_ok'] else 'VIOLATED'} |")
-    if args.json_out:
-        with open(args.json_out, "w") as f:
-            json.dump({"num_shapes": args.num_shapes, "results": results},
-                      f, indent=2)
+    _dump(args, results)
 
 
 if __name__ == "__main__":
