@@ -124,8 +124,9 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
 
     with_normals = config.mode == 5
     # half_precision: bf16 network compute + bf16 neighbour gathers (params
-    # and GroupNorm statistics stay f32) — measured 19.1 -> 24+ shapes/s on
-    # v5e with embedding quality within noise of f32 (RESULTS.md round 3)
+    # and GroupNorm statistics stay f32). Measured a WASH on v5e at b2a3
+    # (18.8 vs 19.1 shapes/s — the hot dots are already bf16 on the MXU);
+    # kept as a memory knob for larger batches/point counts.
     hp = {"dtype": jnp.bfloat16, "gather_bf16": True} \
         if config.half_precision else {}
     model = PrimitivesEmbedding(emb_size=128, num_primitives=10,
