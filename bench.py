@@ -30,6 +30,31 @@ import time
 # the tradeoff on every run.
 os.environ.setdefault("PARSENET_KNN_RECALL", "0.85")
 
+import threading
+
+# Relay-wedge watchdog: the tunneled runtime's claim leg can hang forever
+# (observed: a fresh client blocked >90 min after a pool handoff). A bench
+# that never returns is worse than one that reports the outage — emit a
+# diagnostic JSON line and exit hard if we blow the wall-clock budget.
+# Generous default: first-run TPU compiles of the big graphs are 10-20 min.
+_WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", "3600"))
+
+
+def _watchdog():
+    print(json.dumps({
+        "metric": "abc_shapes_per_hour_e2e", "value": 0.0,
+        "unit": "shapes/hour", "vs_baseline": 0.0,
+        "detail": {"error": f"watchdog: no result within {_WATCHDOG_S:.0f}s "
+                            "(TPU relay wedged or compile runaway)"}}),
+          flush=True)
+    os._exit(2)
+
+
+if _WATCHDOG_S > 0:
+    _timer = threading.Timer(_WATCHDOG_S, _watchdog)
+    _timer.daemon = True  # must not keep a finished bench process alive
+    _timer.start()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
