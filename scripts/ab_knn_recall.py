@@ -62,34 +62,39 @@ def main():
         print(f"=== recall {setting}", flush=True)
         env = dict(os.environ)
         env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+        # stream the arm's output to a file so a wedged/slow run shows
+        # exactly how far it got (capture_output would hide everything)
+        arm_log = f"/tmp/validate_recall_{setting.replace('.', '_')}.log"
         try:
-            out = subprocess.run(
-                [sys.executable, "scripts/validate_reference.py", args.config,
-                 "--num-shapes", str(args.num_shapes),
-                 "--knn-recall", setting],
-                cwd=REPO, env=env, capture_output=True, text=True,
-                timeout=args.timeout)
+            with open(arm_log, "w") as lf:
+                rc = subprocess.run(
+                    [sys.executable, "scripts/validate_reference.py",
+                     args.config, "--num-shapes", str(args.num_shapes),
+                     "--knn-recall", setting],
+                    cwd=REPO, env=env, stdout=lf, stderr=subprocess.STDOUT,
+                    timeout=args.timeout).returncode
         except subprocess.TimeoutExpired:
-            print(f"!!! recall {setting}: timed out after {args.timeout:.0f}s",
-                  flush=True)
+            print(f"!!! recall {setting}: timed out after {args.timeout:.0f}s"
+                  f" (partial output: {arm_log})", flush=True)
             results[setting] = {"error": f"timeout {args.timeout:.0f}s"}
             _dump(args, results)
             continue
-        sys.stderr.write(out.stderr[-2000:] if out.returncode else "")
+        with open(arm_log) as lf:
+            stdout = lf.read()
         # last JSON line carries the measured rows
-        line = next((l for l in reversed(out.stdout.splitlines())
+        line = next((l for l in reversed(stdout.splitlines())
                      if l.startswith("{")), None)
         if line is None:
-            print(f"!!! recall {setting}: no result line (rc={out.returncode})",
-                  flush=True)
-            results[setting] = {"error": f"rc {out.returncode}"}
+            print(f"!!! recall {setting}: no result line (rc={rc}, "
+                  f"see {arm_log})", flush=True)
+            results[setting] = {"error": f"rc {rc}"}
             _dump(args, results)
             continue
         data = json.loads(line)
         results[setting] = {r["metric"]: r["measured"] for r in data["rows"]}
         results[setting]["floors_ok"] = data["floors_ok"]
         _dump(args, results)
-        print(out.stdout[out.stdout.find("=== parity"):], flush=True)
+        print(stdout[stdout.find("=== parity"):], flush=True)
 
     hdr = "| recall | " + " | ".join(COLS) + " | floors |"
     sep = "|---" * (len(COLS) + 2) + "|"
