@@ -163,3 +163,25 @@ class TestReferenceUpsampleParity:
         out, new_m = nn_centroid_upsample(pts, m, jnp.int32(2 * n), rounds=1)
         np.testing.assert_allclose(np.asarray(out[:2 * n]), ref.numpy(),
                                    atol=1e-5)
+
+
+class TestOvershootDrawLaw:
+    def test_draw_spans_full_doubled_set(self, rng):
+        """When NN-centroid doubling overshoots a_max (s=1000 -> m~2000 >
+        1800), the final draw must come from the FULL doubled set — the
+        reference draws a_max uniformly without replacement from the whole
+        up_sample_points output (primitive_forward.py:986-1036). The old
+        truncate-to-a_max law kept all originals and only the first
+        synthetic rows (deterministically <= a_max - s synthetic); the
+        correct hypergeometric law includes ~ a_max * s/m ~ 900 +/- 7.
+        Asserting >= 860 separates the laws by many sigma."""
+        n, s = 4000, 1000
+        points = rng.randn(n, 3).astype(np.float32)
+        member = jnp.asarray(np.arange(n) < s)
+        out = np.asarray(eval_segment_points(
+            jnp.asarray(points), member, jnp.int32(1800),
+            jax.random.PRNGKey(7)))[:1800]
+        orig = points[:s]
+        d = ((out[:, None] - orig[None]) ** 2).sum(-1).min(1)
+        synthetic = int((d > 1e-9).sum())
+        assert synthetic >= 860, synthetic
