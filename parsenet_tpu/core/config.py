@@ -73,6 +73,11 @@ class Config:
     optim: str = "adam"
     accum: int = 1
     weight_decay: float = 0.0
+    # dropout / encoder_drop / proportion are parsed-but-unused, exactly
+    # mirroring the reference (its trainers never read them either —
+    # read_config.py:63 parses accum, train_parsenet.py ignores it; see
+    # SURVEY.md §5 config notes). Kept so the reference's configs/*.yml
+    # round-trip without edits.
     dropout: float = 0.0
     lr: float = 1e-3
     encoder_drop: float = 0.0
