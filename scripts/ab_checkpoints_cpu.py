@@ -9,6 +9,14 @@ Absolute numbers are NOT protocol-comparable (fewer points, no eval
 preprocessing in the seg stage) — only the relative ordering between the
 two arms is meaningful; both arms see identical shapes/keys.
 
+CAVEAT (learned the hard way, 2026-08-18): even the *ordering* does not
+reliably transfer to the 10k-point production protocol — the round-3
+retrain won this reduced-scale A/B on every axis yet measured worse than
+the round-2 exports on the full bench stream (sk_2 0.839 vs 0.860, below
+the 0.84 floor). Treat this script as a tie-breaker / smoke check during
+TPU outages; the shipping gate is a green 10k-point `bench.py` floor run
+(RESULTS.md "Round-3 capstone" post-mortem).
+
 Usage: python scripts/ab_checkpoints_cpu.py [BASELINE_GIT_REV] \
            [--shapes 6] [--points 2500]
 """
