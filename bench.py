@@ -70,9 +70,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # sharded path on the virtual CPU mesh); quality floors are calibrated at
 # the production 10k scale and only enforced there.
 NUM_POINTS = int(os.environ.get("BENCH_POINTS", "10000"))
-# re-measured after the pipeline optimizations: B=1 10.4-11.2k,
-# B=2 13.4k, B=4 14.3k, B=8 14.3k shapes/hour — the early "batching is
-# worse" result predated the pallas mean-shift + fused pipeline
+# re-measured round 3 with the fully fused pipeline + trained params:
+# B=4 28.2k, B=8 26.0k shapes/hour (and gather_bf16=1 at B=4 27.7k) —
+# B=4 is the sweet spot; larger batches grow the EdgeConv working set
+# past VMEM without amortizing any remaining fixed cost
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 WARMUP = 2  # batches
 ITERS = int(os.environ.get("BENCH_ITERS", "8"))  # batches (BATCH*ITERS shapes)
