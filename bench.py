@@ -102,7 +102,11 @@ def load_trained_params(model):
                 return ckpt.restore(target)["params"], True
         except Exception:
             pass
-    npz = load_npz_params("params/parsenet_e2e.npz")
+    # BENCH_PARAMS: alternate npz export to measure (the shipping gate for
+    # candidate checkpoints runs `BENCH_PARAMS=/tmp/cand.npz python bench.py`
+    # BEFORE anything is copied into params/ — see scripts/finetune_e2e.py).
+    npz = load_npz_params(os.environ.get("BENCH_PARAMS",
+                                         "params/parsenet_e2e.npz"))
     if npz is not None:
         import jax.tree_util as jtu
         want = jtu.tree_leaves(target["params"])

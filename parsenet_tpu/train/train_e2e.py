@@ -180,14 +180,22 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
                  open_vars=None, closed_vars=None,
                  pretrained_params=None,
                  lamb: float = 0.1,
-                 val_shapes: Optional[int] = 16) -> TrainState:
+                 val_shapes: Optional[int] = 16,
+                 val_points: Optional[int] = None) -> TrainState:
     """val_shapes: FIXED validation sample for best-checkpoint selection —
     the checkpoint written on val-seg-IoU improvement is what eval harnesses
     restore (latest == best). The reference keeps only periodic latest saves
     (train_parsenet_e2e.py:298-306); selecting on a fixed val sample instead
     removed a 5-point held-out IoU swing caused by scoring epochs on 2
     streaming shapes (round-3 capstone). None = `val_steps` batches,
-    streaming, save-every-epoch (legacy behavior for the mesh tests)."""
+    streaming, save-every-epoch (legacy behavior for the mesh tests).
+
+    val_points: point count for the fixed val sample; None = train's
+    points_per_shape. The round-3 post-mortem (RESULTS.md) showed
+    reduced-scale selection ranking does not transfer to the 10k bench
+    protocol — pass 10000 so best-checkpoint selection scores epochs at
+    the scale the shipping gate measures (costs one extra eval_step
+    compile at the val shape)."""
     from ..data.abc import ABCDataset
 
     mesh = make_mesh(config.num_devices)
@@ -246,10 +254,11 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
     val_batches = []
     if val_gen is not None and val_shapes:
         val_rng = np.random.RandomState(config.seed + 17)
+        vp_n = val_points or points_per_shape
         for i in range(max(1, -(-val_shapes // config.batch_size))):
             vp, vl, vn, vpr = next(val_gen)
             vsel = val_rng.choice(vp.shape[1],
-                                  min(points_per_shape, vp.shape[1]),
+                                  min(vp_n, vp.shape[1]),
                                   replace=False)
             vx = (np.concatenate([vp[:, vsel], vn[:, vsel]], -1)
                   if with_normals else vp[:, vsel])

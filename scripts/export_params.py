@@ -38,17 +38,36 @@ def export(ckpt_dir: str, out_path: str, target) -> bool:
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
     from parsenet_tpu.models.dgcnn import PrimitivesEmbedding
     from parsenet_tpu.models.splinenet import SplineNet
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--e2e-ckpt", default="",
+                    help="checkpoint dir name under logs/checkpoints/ to "
+                         "export as the segmentation net (e.g. "
+                         "parsenet_e2e_ft for the gated continuation "
+                         "fine-tune); exports ONLY that model")
+    ap.add_argument("--e2e-out", default="params/parsenet_e2e.npz",
+                    help="output npz path (use a /tmp candidate path with "
+                         "--e2e-ckpt so params/ stays pristine until the "
+                         "bench gate passes)")
+    args = ap.parse_args()
+
     seg = PrimitivesEmbedding(emb_size=128, num_primitives=10, mode=5, k=80)
     seg_t = {"params": seg.init(jax.random.PRNGKey(0),
                                 jnp.zeros((1, 256, 6)))["params"]}
-    export("logs/checkpoints/parsenet_e2e", "params/parsenet_e2e.npz", seg_t) \
+    if args.e2e_ckpt:
+        if not export(f"logs/checkpoints/{args.e2e_ckpt}", args.e2e_out,
+                      seg_t):
+            raise SystemExit(1)
+        return
+    export("logs/checkpoints/parsenet_e2e", args.e2e_out, seg_t) \
         or export("logs/checkpoints/parsenet_seg_normals",
-                  "params/parsenet_e2e.npz", seg_t)
+                  args.e2e_out, seg_t)
     for name, mode in (("open_splinenet", 0), ("closed_splinenet", 1)):
         m = SplineNet(grid=20, k=10, mode=mode)
         v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 3)), train=False)

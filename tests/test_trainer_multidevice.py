@@ -69,6 +69,29 @@ class TestE2ETrainerMesh:
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
         assert int(state.step) == 2  # accumulation folds into one step each
 
+    def test_val_points_selection_scale(self, tmp_path):
+        """val_points decouples the fixed-val selection scale from the train
+        point count (RESULTS.md post-mortem: reduced-scale selection ranking
+        did not transfer to the 10k shipping gate). The val sample must be
+        drawn at val_points while training stays at points_per_shape, and
+        best-val selection must still write a checkpoint."""
+        import os
+
+        from parsenet_tpu.train.train_e2e import run_training
+        rng = np.random.RandomState(3)
+        cfg = Config(model_path="e2e_valpts", num_train=8, num_val=8,
+                     num_test=8, num_epochs=1, batch_size=8, lr=1e-4,
+                     mode=5, knn_k=4, num_devices=8, grid_size=10,
+                     log_dir=str(tmp_path))
+        state = run_training(
+            cfg, train_gen=abc_gen(rng, 8, 320),
+            val_gen=abc_gen(rng, 8, 320), steps_per_epoch=1,
+            points_per_shape=192, val_shapes=8, val_points=256)
+        assert int(state.step) == 1
+        # best-val selection saved the (only) epoch's checkpoint
+        ckpt_dir = os.path.join(str(tmp_path), "checkpoints", "e2e_valpts")
+        assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
+
     def test_accum_changes_grads_not_shapes(self, tmp_path):
         """make_e2e_step(num_accum=2) consumes [A, B, ...] and produces the
         mean of the micro-batch gradients."""
