@@ -30,6 +30,27 @@ import time
 # the tradeoff on every run.
 os.environ.setdefault("PARSENET_KNN_RECALL", "0.85")
 
+# Relay pre-flight: probe the remote backend's claim leg in fresh
+# subprocesses (bounded retries) BEFORE this process claims a chip, so a
+# transiently wedged / slow relay becomes a delayed success instead of a
+# zero-value watchdog artifact. BENCH_PREFLIGHT: "0" off, "1" force on,
+# unset = auto (on unless the env pins the cpu platform, e.g. CPU tests).
+_PREFLIGHT = os.environ.get("BENCH_PREFLIGHT", "")
+if _PREFLIGHT == "1" or (_PREFLIGHT != "0" and
+                         os.environ.get("JAX_PLATFORMS", "") != "cpu"):
+    from parsenet_tpu.core.preflight import wait_for_backend
+    if not wait_for_backend(
+            budget_s=float(os.environ.get("BENCH_PREFLIGHT_BUDGET_S", "1500")),
+            probe_timeout_s=float(os.environ.get("BENCH_PREFLIGHT_PROBE_S",
+                                                 "420")),
+            sleep_s=float(os.environ.get("BENCH_PREFLIGHT_SLEEP_S", "20"))):
+        print(json.dumps({
+            "metric": "abc_shapes_per_hour_e2e", "value": 0.0,
+            "unit": "shapes/hour", "vs_baseline": 0.0,
+            "detail": {"error": "preflight: TPU relay unreachable within "
+                                "budget (claim leg wedged)"}}), flush=True)
+        raise SystemExit(2)
+
 import threading
 
 # Relay-wedge watchdog: the tunneled runtime's claim leg can hang forever

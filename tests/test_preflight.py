@@ -1,0 +1,102 @@
+"""Relay pre-flight probe (core/preflight.py) and its bench.py wiring.
+
+The tunneled TPU relay's claim leg can hang or take minutes (NEXT.md
+incident log); bench.py must retry the claim in fresh subprocesses within a
+budget and, if the backend never answers, emit the standard diagnostic JSON
+line instead of hanging or crashing into the watchdog with a zero artifact.
+"""
+import json
+import os
+import subprocess
+import sys
+
+from parsenet_tpu.core.preflight import wait_for_backend
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PY = sys.executable
+
+
+def test_success_first_attempt():
+    logs = []
+    ok = wait_for_backend([PY, "-c", "print('ok')"], budget_s=30,
+                          probe_timeout_s=20, sleep_s=0.01, log=logs.append)
+    assert ok and logs == []  # quiet on the healthy path
+
+
+def test_failing_probe_retries_then_gives_up():
+    logs = []
+    # generous budget: interpreter startup on this loaded 1-core host can
+    # exceed a second, and the assertion needs >= 2 completed attempts
+    ok = wait_for_backend([PY, "-c", "raise SystemExit(3)"], budget_s=6.0,
+                          probe_timeout_s=10, sleep_s=0.05, log=logs.append)
+    assert not ok
+    fails = [l for l in logs if "failed" in l]
+    assert len(fails) >= 2  # fresh-process retries, not a single shot
+    assert any("exit 3" in l for l in fails)
+    assert "unreachable" in logs[-1]
+
+
+def test_hung_probe_is_killed_not_waited_out():
+    logs = []
+    ok = wait_for_backend([PY, "-c", "import time; time.sleep(60)"],
+                          budget_s=1.0, probe_timeout_s=0.3, sleep_s=0.1,
+                          log=logs.append)
+    assert not ok
+    assert any("hung" in l for l in logs)
+
+
+def test_recovery_mid_budget(tmp_path):
+    # first attempt fails (marker file absent -> exit 1, then creates it),
+    # second attempt finds the marker and succeeds: the retry loop must
+    # return True and log the recovery
+    marker = tmp_path / "up"
+    code = (f"import os,sys; p={str(marker)!r}\n"
+            "if os.path.exists(p): sys.exit(0)\n"
+            "open(p,'w').close(); sys.exit(1)\n")
+    logs = []
+    ok = wait_for_backend([PY, "-c", code], budget_s=30, probe_timeout_s=10,
+                          sleep_s=0.05, log=logs.append)
+    assert ok
+    assert any("recovered on attempt 2" in l for l in logs)
+
+
+def _bench_env(**extra):
+    env = dict(os.environ)
+    env.update({"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+                "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_test_cache"})
+    env.update(extra)
+    return env
+
+
+def test_bench_preflight_exhaustion_emits_diagnostic_json():
+    # force preflight ON (cpu would auto-skip) with a probe budget so small
+    # the jax-importing probe cannot finish: bench must print the standard
+    # zero-value JSON with a preflight error and exit 2 without ever
+    # initializing its own backend
+    env = _bench_env(BENCH_PREFLIGHT="1", BENCH_PREFLIGHT_BUDGET_S="0.4",
+                     BENCH_PREFLIGHT_PROBE_S="0.2",
+                     BENCH_PREFLIGHT_SLEEP_S="0.05")
+    out = subprocess.run([PY, os.path.join(REPO, "bench.py")], cwd=REPO,
+                         env=env, capture_output=True, text=True, timeout=120)
+    assert out.returncode == 2, (out.returncode, out.stdout, out.stderr[-500:])
+    line = next(l for l in out.stdout.splitlines() if l.startswith("{"))
+    rec = json.loads(line)
+    assert rec["value"] == 0.0
+    assert "preflight" in rec["detail"]["error"]
+
+
+def test_bench_cpu_env_auto_skips_preflight():
+    # the CPU test env (JAX_PLATFORMS=cpu, BENCH_PREFLIGHT unset) must skip
+    # the probe entirely: with a sub-second watchdog the bench dies at the
+    # WATCHDOG (proving it got past preflight instantly despite a budget no
+    # real probe could meet)
+    env = _bench_env(BENCH_WATCHDOG_S="3", BENCH_POINTS="640",
+                     BENCH_BATCH="1", BENCH_ITERS="1",
+                     BENCH_PREFLIGHT_PROBE_S="0.01",
+                     BENCH_PREFLIGHT_BUDGET_S="0.01")
+    env.pop("BENCH_PREFLIGHT", None)
+    out = subprocess.run([PY, os.path.join(REPO, "bench.py")], cwd=REPO,
+                         env=env, capture_output=True, text=True, timeout=120)
+    assert out.returncode == 2, (out.returncode, out.stdout, out.stderr[-500:])
+    line = next(l for l in out.stdout.splitlines() if l.startswith("{"))
+    assert "watchdog" in json.loads(line)["detail"]["error"]
