@@ -36,8 +36,12 @@ os.environ.setdefault("PARSENET_KNN_RECALL", "0.85")
 # zero-value watchdog artifact. BENCH_PREFLIGHT: "0" off, "1" force on,
 # unset = auto (on unless the env pins the cpu platform, e.g. CPU tests).
 _PREFLIGHT = os.environ.get("BENCH_PREFLIGHT", "")
-if _PREFLIGHT == "1" or (_PREFLIGHT != "0" and
-                         os.environ.get("JAX_PLATFORMS", "") != "cpu"):
+# "cpu env" = either the platform pin or an emptied axon pool (the two knobs
+# CLAUDE.md documents for CPU runs); config-based CPU runs
+# (jax.config.update) should also set one of these or BENCH_PREFLIGHT=0.
+_CPU_ENV = (os.environ.get("JAX_PLATFORMS", "") == "cpu"
+            or os.environ.get("PALLAS_AXON_POOL_IPS", None) == "")
+if _PREFLIGHT == "1" or (_PREFLIGHT != "0" and not _CPU_ENV):
     from parsenet_tpu.core.preflight import wait_for_backend
     if not wait_for_backend(
             budget_s=float(os.environ.get("BENCH_PREFLIGHT_BUDGET_S", "1500")),
@@ -111,11 +115,51 @@ FLOOR_SK2 = _FLOORS["sk_2_min"]
 
 
 def load_trained_params(model):
-    """Trained segmentation params: orbax checkpoint first (fresh training
-    runs), then the committed npz export. Returns (params, trained_flag)."""
+    """Trained segmentation params. Resolution order (VERDICT round-3 task 4):
+
+    1. BENCH_PARAMS, when EXPLICITLY set — the shipping gate measures the
+       named npz export and nothing else (`BENCH_PARAMS=/tmp/cand.npz python
+       bench.py` runs BEFORE anything is copied into params/ — see
+       scripts/finetune_e2e.py). A stale orbax checkpoint must never shadow
+       the gate's candidate, so orbax is SKIPPED (with a warning if one
+       exists).
+    2. Otherwise: latest orbax checkpoint (fresh training runs), then the
+       committed params/parsenet_e2e.npz export.
+
+    Returns (params, trained_flag)."""
     from parsenet_tpu.core.checkpoint import Checkpointer, load_npz_params
     target = {"params": model.init(jax.random.PRNGKey(0),
                                    jnp.zeros((1, 256, 6)))["params"]}
+
+    def npz_params(path):
+        npz = load_npz_params(path)
+        if npz is None:
+            return None
+        import jax.tree_util as jtu
+        want = jtu.tree_leaves(target["params"])
+        got = jtu.tree_leaves(npz["params"])
+        if len(want) == len(got) and all(
+                np.shape(a) == np.shape(b) for a, b in zip(want, got)):
+            return npz["params"]
+        print(f"bench: WARNING {path} exists but does not match the model "
+              "tree; ignoring", file=sys.stderr)
+        return None
+
+    explicit = os.environ.get("BENCH_PARAMS")
+    orbax_dirs = [n for n in ("parsenet_e2e", "parsenet_seg_normals")
+                  if os.path.isdir(f"logs/checkpoints/{n}")
+                  and any(True for _ in os.scandir(f"logs/checkpoints/{n}"))]
+    if explicit:
+        if orbax_dirs:
+            print(f"bench: BENCH_PARAMS={explicit} overrides orbax "
+                  f"checkpoint(s) {orbax_dirs} — measuring the npz",
+                  file=sys.stderr)
+        p = npz_params(explicit)
+        if p is None:
+            raise SystemExit(f"bench: BENCH_PARAMS={explicit} missing or "
+                             "incompatible — refusing to silently measure "
+                             "a different model")
+        return p, True
     for ckpt_name in ("parsenet_e2e", "parsenet_seg_normals"):
         try:
             ckpt = Checkpointer(f"logs/checkpoints/{ckpt_name}")
@@ -123,18 +167,9 @@ def load_trained_params(model):
                 return ckpt.restore(target)["params"], True
         except Exception:
             pass
-    # BENCH_PARAMS: alternate npz export to measure (the shipping gate for
-    # candidate checkpoints runs `BENCH_PARAMS=/tmp/cand.npz python bench.py`
-    # BEFORE anything is copied into params/ — see scripts/finetune_e2e.py).
-    npz = load_npz_params(os.environ.get("BENCH_PARAMS",
-                                         "params/parsenet_e2e.npz"))
-    if npz is not None:
-        import jax.tree_util as jtu
-        want = jtu.tree_leaves(target["params"])
-        got = jtu.tree_leaves(npz["params"])
-        if len(want) == len(got) and all(
-                np.shape(a) == np.shape(b) for a, b in zip(want, got)):
-            return npz["params"], True
+    p = npz_params("params/parsenet_e2e.npz")
+    if p is not None:
+        return p, True
     print("bench: WARNING no trained checkpoint; random init, "
           "quality floor skipped", file=sys.stderr)
     return target["params"], False
@@ -154,9 +189,15 @@ def main():
     apply_fn = jax.jit(lambda x: model.apply({"params": params}, x))
     spline_fit = build_spline_fit(grid=20, log_dir="logs")
 
-    # seed 7: disjoint from the synthetic training h5s (seeds 0/1/2), so the
-    # quality fields are held-out, not memorized
-    host = np.random.RandomState(7)
+    # Two deterministic held-out eval streams (VERDICT round-3 task 5):
+    # stream "a" (seed 7, the default — all historical BENCH_r*.json numbers)
+    # and stream "b" (seed 1013) — both disjoint from the synthetic training
+    # h5s (seeds 0/1/2), so the quality fields are held-out, not memorized.
+    # Promotion rule (RESULTS.md): candidates must be floors-green on stream
+    # "a" AND within noise (~0.02 sk_2 across 32-shape slices) on stream "b"
+    # before params/ is touched — guards select-on-the-gate overfitting.
+    stream = os.environ.get("BENCH_STREAM", "a")
+    host = np.random.RandomState({"a": 7, "b": 1013}[stream])
     n_shapes = (WARMUP + ITERS) * BATCH
     pts, labels, normals, prim = make_shape_batch(host, n_shapes, NUM_POINTS)
     # eval-mode canonicalization, exactly what ABCDataset.get_test feeds the
@@ -303,7 +344,10 @@ def main():
     shapes_per_hour = shapes_per_sec * 3600.0
     residual = res_sum / (ITERS * BATCH)
     seg_iou = iou_sum / (ITERS * BATCH)
-    quality_ok = (not trained) or NUM_POINTS != 10000 or (
+    # floors are calibrated on the primary stream at production scale; the
+    # secondary stream reports metrics for the two-stream promotion rule but
+    # does not hard-fail (its noise band is documented, not floored)
+    quality_ok = (not trained) or NUM_POINTS != 10000 or stream != "a" or (
         seg_iou >= FLOOR_SEG_IOU and residual <= CEIL_RESIDUAL
         and sk2_mean >= FLOOR_SK2)
     # north star: 10,000 shapes/hour on a v5e-8 => 1,250 per chip; this bench
@@ -319,6 +363,7 @@ def main():
             "batch": BATCH,
             "devices": n_dev,
             "num_points": NUM_POINTS,
+            "stream": stream,
             "residual": round(residual, 5),
             "seg_iou": round(seg_iou, 4),
             "p_cov": round(cov_mean, 5),

@@ -16,10 +16,17 @@ fresh processes until the claim succeeds or a wall-clock budget expires.
 Callers (bench.py) run it BEFORE starting their own backend so a transient
 wedge becomes a delayed success instead of a zero-value round artifact.
 
-Stdlib-only on purpose: importing this module must never initialize jax.
+Stdlib-only on purpose: importing this module must never initialize a jax
+BACKEND (no chip claim). Note that reaching it via the package
+(`parsenet_tpu.core.preflight`) does import jax itself through
+core/__init__ — backend init stays lazy, but the import cost lands in the
+caller; that is acceptable because every caller imports jax moments later
+anyway.
 """
 from __future__ import annotations
 
+import os
+import signal
 import subprocess
 import sys
 import time
@@ -65,17 +72,30 @@ def wait_for_backend(probe_argv: Optional[List[str]] = None,
                 f"attempts / {budget_s:.0f}s budget")
             return False
         tmo = min(probe_timeout_s, max(left, 0.05))
+        # own session/process group + group kill on timeout: a wedged jax
+        # runtime can spawn helpers that inherit the pipes, and killing only
+        # the direct child would leave communicate() blocked on them — the
+        # exact hang this module exists to bound
+        proc = subprocess.Popen(probe_argv, stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True,
+                                start_new_session=True)
         try:
-            r = subprocess.run(probe_argv, capture_output=True, text=True,
-                               timeout=tmo)
-            if r.returncode == 0:
+            out, _ = proc.communicate(timeout=tmo)
+            if proc.returncode == 0:
                 if attempt > 1:
                     log(f"preflight: backend recovered on attempt {attempt} "
                         f"({time.monotonic() - t0:.0f}s)")
                 return True
-            why = (f"exit {r.returncode}: "
-                   f"{(r.stderr or r.stdout).strip()[-200:]}")
+            why = f"exit {proc.returncode}: {(out or '').strip()[-200:]}"
         except subprocess.TimeoutExpired:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+            try:
+                proc.communicate(timeout=5)
+            except subprocess.TimeoutExpired:
+                pass
             why = f"probe hung > {tmo:.0f}s (claim leg wedged?)"
         log(f"preflight: attempt {attempt} failed ({why}); retrying")
         time.sleep(min(sleep_s, max(budget_s - (time.monotonic() - t0), 0)))

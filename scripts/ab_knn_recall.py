@@ -99,9 +99,11 @@ def main():
     hdr = "| recall | " + " | ".join(COLS) + " | floors |"
     sep = "|---" * (len(COLS) + 2) + "|"
     print("\n" + hdr + "\n" + sep)
+    failed = []
     for setting in settings:
         r = results.get(setting, {})
         if "error" in r or not r:
+            failed.append(setting)
             print(f"| {setting} | " + " | ".join(["—"] * len(COLS))
                   + f" | {r.get('error', 'missing')} |")
             continue
@@ -109,6 +111,13 @@ def main():
         print(f"| {setting} | {cells} | "
               f"{'ok' if r['floors_ok'] else 'VIOLATED'} |")
     _dump(args, results)
+    if failed:
+        # an all- or partial-error table must be LOUD: round 3's capstone
+        # A/B burned its TPU slot behind an "ab: rc=0" runner log because
+        # this exit was unconditionally 0 (VERDICT round-3 weak #1)
+        print(f"ab_knn_recall: FAILED arms: {', '.join(failed)} — table is "
+              "incomplete", file=sys.stderr)
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

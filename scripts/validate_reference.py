@@ -61,6 +61,11 @@ def main():
                          "kNN like the reference, src/PointNet.py:9-26, "
                          "regardless of PARSENET_KNN_RECALL) or a recall "
                          "float (e.g. 0.85) for throughput A/B tables")
+    ap.add_argument("--params", default=os.environ.get("BENCH_PARAMS", ""),
+                    help="explicit npz export to evaluate (same semantics "
+                         "as bench.py's BENCH_PARAMS, which is also read): "
+                         "overrides any orbax checkpoint. Unset: orbax "
+                         "under cfg.log_dir, then params/parsenet_e2e.npz")
     args = ap.parse_args()
 
     # kNN exactness must be decided BEFORE parsenet_tpu imports (the knobs
@@ -71,7 +76,7 @@ def main():
         os.environ["PARSENET_KNN_EXACT"] = "0"
         os.environ["PARSENET_KNN_RECALL"] = str(float(args.knn_recall))
 
-    from parsenet_tpu.core.checkpoint import Checkpointer
+    from parsenet_tpu.core.checkpoint import (Checkpointer, load_npz_params)
     from parsenet_tpu.core.config import load_config
     from parsenet_tpu.data.abc import ABCDataset
     from parsenet_tpu.eval.pipeline import (predict_segmentation,
@@ -83,16 +88,55 @@ def main():
     with_normals = cfg.mode == 5
     model = PrimitivesEmbedding(emb_size=128, num_primitives=10,
                                 mode=5 if with_normals else 0, k=cfg.knn_k)
-    ckpt = Checkpointer(f"{cfg.log_dir}/checkpoints/{cfg.model_path}")
     cdim = 6 if with_normals else 3
     target = {"params": model.init(jax.random.PRNGKey(0),
                                    jnp.zeros((1, 256, cdim)))["params"]}
-    restored = ckpt.restore(target)
-    if restored is None:
-        raise SystemExit(f"no checkpoint under {cfg.log_dir}/checkpoints/"
-                         f"{cfg.model_path}; train first (scripts/"
-                         "train_workflow.py)")
-    params = restored["params"]
+
+    # Params resolution mirrors bench.py.load_trained_params (VERDICT
+    # round-3 task 1): explicit --params/BENCH_PARAMS npz wins outright;
+    # otherwise the latest orbax checkpoint; otherwise the SHIPPED
+    # params/parsenet_e2e.npz export — so the harness can always measure
+    # the shipped model even when logs/checkpoints/ is empty.
+    def _check_npz(path):
+        npz = load_npz_params(path)
+        if npz is None:
+            return None
+        import jax.tree_util as jtu
+        want = jtu.tree_leaves(target["params"])
+        got = jtu.tree_leaves(npz["params"])
+        if len(want) == len(got) and all(
+                np.shape(a) == np.shape(b) for a, b in zip(want, got)):
+            return npz["params"]
+        print(f"validate: WARNING {path} does not match the model tree; "
+              "ignoring", file=sys.stderr)
+        return None
+
+    params = None
+    if args.params:
+        params = _check_npz(args.params)
+        if params is None:
+            raise SystemExit(f"--params {args.params} missing or "
+                             "incompatible — refusing to silently measure "
+                             "a different model")
+        src = args.params
+    else:
+        try:
+            ckpt = Checkpointer(f"{cfg.log_dir}/checkpoints/{cfg.model_path}")
+            restored = ckpt.restore(target)
+        except Exception:
+            restored = None
+        if restored is not None:
+            params, src = restored["params"], \
+                f"{cfg.log_dir}/checkpoints/{cfg.model_path}"
+        else:
+            shipped = os.path.join(REPO, "params", "parsenet_e2e.npz")
+            params = _check_npz(shipped)
+            src = shipped
+        if params is None:
+            raise SystemExit(f"no checkpoint under {cfg.log_dir}/checkpoints/"
+                             f"{cfg.model_path} and no shipped npz export; "
+                             "train first (scripts/train_workflow.py)")
+    print(f"validate: evaluating params from {src}", flush=True)
     apply_fn = jax.jit(lambda x: model.apply({"params": params}, x))
     spline_fit = build_spline_fit(cfg.grid_size, log_dir=cfg.log_dir)
 
@@ -110,9 +154,13 @@ def main():
             break
         x = np.concatenate([points, normals], -1) if with_normals else points
         key, k1, k2 = jax.random.split(key, 3)
+        # clamp the mean-shift sample count for reduced-scale (CPU/CI) data;
+        # at the production 10k protocol this is the same 5000 as always
         pred = predict_segmentation(apply_fn, jnp.asarray(x[0], jnp.float32),
                                     jnp.asarray(labels[0]),
-                                    jnp.asarray(prim[0]), k1)
+                                    jnp.asarray(prim[0]), k1,
+                                    ms_num_samples=min(5000,
+                                                       int(points.shape[1])))
         rec = reconstruct_shape(jnp.asarray(points[0]),
                                 jnp.asarray(normals[0]), pred.labels,
                                 pred.pred_prim, k2, spline_fit=spline_fit,
