@@ -178,29 +178,59 @@ def fitting_loss_shape(points: jnp.ndarray, normals: jnp.ndarray,
                        spline_fit: Optional[Callable] = None,
                        quantile: float = 0.025, iterations: int = 5,
                        lamb: float = 1.0,
-                       ms_num_samples: int = 5000) -> FittingLossOut:
+                       ms_num_samples: int = 5000,
+                       ablate: Tuple[str, ...] = ()) -> FittingLossOut:
     """Train-time residual loss for ONE shape.
 
     points/normals: [N, 3]; embedding: [N, D] raw (normalized here);
     gt_labels: [N] int segment ids (< K_MAX); gt_prim: [N] int types;
     pred_prim_per_point: [N] argmax of the primitive head (for the SIOU
     metric; falls back to GT types when absent).
+
+    ablate: static tuple used ONLY by scripts/bench_train.py for in-context
+    stage costing (the bench.py BENCH_ABLATE pattern — standalone stage
+    timing is unreliable over the tunneled runtime). "ms" replaces
+    mean-shift + matching with GT-derived clusters, "match" replaces the
+    LAP with identity assignment, "fits" zeroes the geometric fit +
+    residual stage. Production entry points never set it.
     """
     N = points.shape[0]
     emb = embedding / (jnp.linalg.norm(embedding, axis=-1, keepdims=True) + 1e-12)
-    ms = guard_mean_shift(emb, quantile, key=key, num_samples=ms_num_samples,
-                          iterations=iterations)
-    centers, valid_k = cluster_centers(ms, emb)
+    gt_oh = to_one_hot(gt_labels)
+    gt_count = jnp.sum(gt_oh, axis=0)
+    if "ms" in ablate:
+        # GT-cluster stub: centers = per-GT-segment mean embedding; the
+        # rest of the pipeline sees the same shapes/dtypes as mean-shift
+        # output, so (full - this) prices mean-shift + matching exactly
+        centers = jnp.dot(gt_oh.T, emb,
+                          preferred_element_type=jnp.float32)
+        centers = centers / (gt_count[:, None] + EPS)
+        # sqrt(sum+eps) not linalg.norm: empty GT segments give all-zero
+        # rows, and norm's gradient at exactly 0 is NaN (0/0)
+        centers = centers / jnp.sqrt(
+            jnp.sum(centers * centers, axis=-1, keepdims=True) + 1e-12)
+        valid_k = gt_count > 0
+        ms = MeanShiftResult(labels=gt_labels.astype(jnp.int32), shifted=emb,
+                             center_mask=jnp.zeros((N,), bool),
+                             bandwidth=jnp.float32(0.1),
+                             num_clusters=jnp.sum(valid_k))
+        cols = jnp.arange(K_MAX)
+    else:
+        ms = guard_mean_shift(emb, quantile, key=key,
+                              num_samples=ms_num_samples,
+                              iterations=iterations)
+        centers, valid_k = cluster_centers(ms, emb)
+        if "match" in ablate:
+            cols = jnp.arange(K_MAX)
+        else:
+            # on-device Hungarian: predicted cluster k -> GT segment cols[k]
+            cost = 1.0 - relaxed_iou(to_one_hot(ms.labels),
+                                     to_one_hot(gt_labels))
+            cols = solve_lap(lax.stop_gradient(cost))
     weights_raw = jnp.dot(centers, emb.T, preferred_element_type=jnp.float32)
 
-    # on-device Hungarian: predicted cluster k -> GT segment cols[k]
-    cost = 1.0 - relaxed_iou(to_one_hot(ms.labels), to_one_hot(gt_labels))
-    cols = solve_lap(lax.stop_gradient(cost))
-
     pred_oh = to_one_hot(ms.labels)
-    gt_oh = to_one_hot(gt_labels)
     pred_count = jnp.sum(pred_oh, axis=0)
-    gt_count = jnp.sum(gt_oh, axis=0)
     valid = valid_k & (pred_count > 0) & (gt_count[cols] > 0)
 
     votes = gt_segment_prim_votes(gt_labels, gt_prim)   # [K, 10]
@@ -208,13 +238,17 @@ def fitting_loss_shape(points: jnp.ndarray, normals: jnp.ndarray,
 
     w_norm = weights_normalize(weights_raw, ms.bandwidth, valid)  # [K, N]
 
-    # ---- geometric fits on the stride-4 subsample (reference strides 2x2)
-    p4, n4, w4 = points[::4], normals[::4], w_norm[:, ::4] + EPS
-    params = fit_all_primitives_shared_points(p4, n4, w4)
-    geom_type = geom_type_from_label(seg_label)
-    dists = residual_select(points, params, geom_type)  # [K, N]
     gt_mask = (gt_labels[None, :] == cols[:, None]).astype(jnp.float32)
-    geom_res = jnp.sum(dists * gt_mask, axis=1) / (jnp.sum(gt_mask, axis=1) + EPS)
+    if "fits" in ablate:
+        geom_res = jnp.zeros((K_MAX,))
+    else:
+        # ---- geometric fits on the stride-4 subsample (reference 2x2)
+        p4, n4, w4 = points[::4], normals[::4], w_norm[:, ::4] + EPS
+        params = fit_all_primitives_shared_points(p4, n4, w4)
+        geom_type = geom_type_from_label(seg_label)
+        dists = residual_select(points, params, geom_type)  # [K, N]
+        geom_res = jnp.sum(dists * gt_mask, axis=1) / (
+            jnp.sum(gt_mask, axis=1) + EPS)
 
     is_spline = jnp.isin(seg_label, jnp.asarray(
         SPLINE_LABELS_OPEN + SPLINE_LABELS_CLOSED))

@@ -99,13 +99,22 @@ def build_spline_fit(grid: int = 20, sample_grid: int = 30,
 def make_e2e_step(model: PrimitivesEmbedding, spline_fit,
                   quantile: float = 0.025, iterations: int = 5,
                   lamb: float = 0.1, ms_num_samples: int = 2048,
-                  with_normals: bool = True, num_accum: int = 1):
+                  with_normals: bool = True, num_accum: int = 1,
+                  ablate: tuple = ()):
     """num_accum > 1 accumulates gradients over micro-batches inside the
     jitted step via lax.scan (the reference loops .backward() five times,
-    train_parsenet_e2e.py:174-294); inputs then carry a leading [A] axis."""
+    train_parsenet_e2e.py:174-294); inputs then carry a leading [A] axis.
+
+    ablate: static stage-costing knob for scripts/bench_train.py only (see
+    fitting_loss_shape). Extra arms at this level: "fit" skips the whole
+    fitting loss, "netgrad" stops gradients at the network outputs (prices
+    the DGCNN backward pass). Production callers never set it."""
     def loss_fn(params, x, labels, prim, key):
         # x: [B, N, C]; per-shape fitting loss vmapped over the batch
         emb, prim_logp = model.apply({"params": params}, x)
+        if "netgrad" in ablate:
+            emb = jax.lax.stop_gradient(emb)
+            prim_logp = jax.lax.stop_gradient(prim_logp)
         k1, k2 = jax.random.split(key)
         e_loss = triplet_loss(emb, labels, k1)
         p_loss = primitive_nll_loss(prim_logp, prim)
@@ -113,13 +122,20 @@ def make_e2e_step(model: PrimitivesEmbedding, spline_fit,
         normals = x[..., 3:6] if with_normals else points
         pred_prim = jnp.argmax(prim_logp, axis=-1)
         keys = jax.random.split(k2, x.shape[0])
-        fit_out: FittingLossOut = jax.vmap(
-            lambda p, n, e, l, pr, pp, kk: fitting_loss_shape(
-                p, n, e, l, pr, kk, pred_prim_per_point=pp,
-                spline_fit=spline_fit, quantile=quantile,
-                iterations=iterations, lamb=lamb,
-                ms_num_samples=ms_num_samples)
-        )(points, normals, emb, labels, prim, pred_prim, keys)
+        if "fit" in ablate:
+            z = jnp.zeros((x.shape[0],))
+            fit_out = FittingLossOut(z + jnp.mean(emb) * 0.0, z, z, z, z,
+                                     z.astype(jnp.int32))
+        else:
+            fit_out: FittingLossOut = jax.vmap(
+                lambda p, n, e, l, pr, pp, kk: fitting_loss_shape(
+                    p, n, e, l, pr, kk, pred_prim_per_point=pp,
+                    spline_fit=spline_fit, quantile=quantile,
+                    iterations=iterations, lamb=lamb,
+                    ms_num_samples=ms_num_samples,
+                    ablate=tuple(a for a in ablate
+                                 if a in ("ms", "match", "fits")))
+            )(points, normals, emb, labels, prim, pred_prim, keys)
         res_loss = jnp.mean(fit_out.loss)
         total = e_loss + p_loss + res_loss
         metrics = {"embed_loss": e_loss, "prim_loss": p_loss,

@@ -82,7 +82,16 @@ def bench_seg(batch=2, n_points=7000, accum=3, steps=5):
                                  "embed_loss": float(m["embed_loss"])}}))
 
 
-def bench_e2e(batch=1, n_points=8000, steps=3):
+def bench_e2e(batch=1, n_points=8000, steps=3, ablate=None, tag=""):
+    """BT_ABLATE: comma list of stages to stub inside the jitted step for
+    in-context costing (the bench.py BENCH_ABLATE pattern; standalone stage
+    timing is unreliable over the tunnel). Arms: nograd (time eval_step:
+    prices the whole backward pass), netgrad (stop-grad at net outputs:
+    prices the DGCNN backward), fit (skip the entire fitting loss), ms
+    (GT-cluster stub for mean-shift + matching), match (identity LAP),
+    fits (skip geometric fits + residuals), splines (spline_fit=None).
+    BT_MS_SAMPLES: mean-shift subsample (default 5000 here; run_training
+    uses make_e2e_step's 2048 default — measure both)."""
     from parsenet_tpu.data.synthetic import make_shape_batch
     from parsenet_tpu.models.dgcnn import PrimitivesEmbedding
     from parsenet_tpu.train.state import create_state
@@ -90,33 +99,70 @@ def bench_e2e(batch=1, n_points=8000, steps=3):
 
     batch = int(os.environ.get("BT_BATCH", batch))
     n_points = int(os.environ.get("BT_POINTS", n_points))
+    ms_samples = int(os.environ.get("BT_MS_SAMPLES", 5000))
+    if ablate is None:
+        ablate = tuple(a for a in os.environ.get("BT_ABLATE", "").split(",")
+                       if a)
+    nograd = "nograd" in ablate
+    ablate = tuple(a for a in ablate if a != "nograd")
     model = PrimitivesEmbedding(emb_size=128, num_primitives=10, mode=5, k=80,
                                 **_model_kw())
     state = create_state(model, jax.random.PRNGKey(0),
                          (jnp.zeros((batch, n_points, 6)),))
-    spline_fit = build_spline_fit(grid=20)
-    train_step, _ = make_e2e_step(model, spline_fit, iterations=5,
-                                  ms_num_samples=5000)
+    spline_fit = None if "splines" in ablate else build_spline_fit(grid=20)
+    train_step, eval_step = make_e2e_step(
+        model, spline_fit, iterations=5, ms_num_samples=ms_samples,
+        ablate=tuple(a for a in ablate if a != "splines"))
     host = np.random.RandomState(0)
     pts, labels, normals, prim = make_shape_batch(host, batch, n_points)
     x = jnp.asarray(np.concatenate([pts, normals], -1).astype(np.float32))
     lb, pb = jnp.asarray(labels), jnp.asarray(prim)
-    state, m = train_step(state, x, lb, pb, jax.random.PRNGKey(1),
-                          jnp.float32(1e-4))
-    float(m["res_loss"])
+
+    def run(i):
+        nonlocal state
+        if nograd:
+            m = eval_step(state, x, lb, pb, jax.random.PRNGKey(i))
+        else:
+            state, m = train_step(state, x, lb, pb, jax.random.PRNGKey(i),
+                                  jnp.float32(1e-4))
+        float(m["res_loss"])
+        return m
+
+    m = run(1)
     t0 = time.perf_counter()
     for i in range(steps):
-        state, m = train_step(state, x, lb, pb, jax.random.PRNGKey(i),
-                              jnp.float32(1e-4))
-        float(m["res_loss"])
+        m = run(i)
     dt = (time.perf_counter() - t0) / steps
-    print(json.dumps({"metric": "e2e_train_shapes_per_sec",
+    detail = {"step_ms": round(dt * 1e3, 1), "batch": batch,
+              "points": n_points, "bf16": _BF16, "remat": _REMAT,
+              "ms_samples": ms_samples,
+              "ablate": ",".join(ablate) + (",nograd" if nograd else ""),
+              "res_loss": float(m["res_loss"])}
+    if not nograd:
+        detail["grad_ok"] = float(m["grad_ok"])
+    print(json.dumps({"metric": "e2e_train_shapes_per_sec" +
+                                (f"_{tag}" if tag else ""),
                       "value": round(batch / dt, 3), "unit": "shapes/s",
-                      "detail": {"step_ms": round(dt * 1e3, 1),
-                                 "batch": batch, "points": n_points,
-                                 "bf16": _BF16, "remat": _REMAT,
-                                 "res_loss": float(m["res_loss"]),
-                                 "grad_ok": float(m["grad_ok"])}}))
+                      "detail": detail}), flush=True)
+    return dt
+
+
+def bench_e2e_ablate():
+    """Run the full in-context ablation sweep and print a cost breakdown.
+    Each arm is one jitted-graph variant timed in-process; deltas vs the
+    full step localize where the ~200 ms goes (VERDICT round-3 task 6)."""
+    arms = [("full", ()), ("nograd", ("nograd",)), ("netgrad", ("netgrad",)),
+            ("fit", ("fit",)), ("ms", ("ms",)), ("match", ("match",)),
+            ("fits", ("fits",)), ("splines", ("splines",))]
+    times = {}
+    for tag, ab in arms:
+        times[tag] = bench_e2e(ablate=ab, tag=tag)
+    full = times["full"]
+    deltas = {f"cost_{t}_ms": round((full - dt) * 1e3, 1)
+              for t, dt in times.items() if t != "full"}
+    print(json.dumps({"metric": "e2e_ablation_ms",
+                      "value": round(full * 1e3, 1), "unit": "ms/step",
+                      "detail": deltas}), flush=True)
 
 
 if __name__ == "__main__":
@@ -125,3 +171,5 @@ if __name__ == "__main__":
         bench_seg()
     if which in ("e2e", "all"):
         bench_e2e()
+    if which == "e2e_ablate":
+        bench_e2e_ablate()

@@ -10,7 +10,12 @@ set -u
 GATE_PID="${1:?usage: queue_after_gate_r3c.sh <gate_runner_pid>}"
 cd "$(dirname "$0")/.."
 
-while kill -0 "$GATE_PID" 2>/dev/null; do sleep 30; done
+# PID-reuse-safe wait (see run_gate_r3c.sh); superseded by the marker-file
+# pattern in run_round4_queue.sh for new work.
+while kill -0 "$GATE_PID" 2>/dev/null \
+      && grep -q run_gate_r3c "/proc/$GATE_PID/cmdline" 2>/dev/null; do
+  sleep 30
+done
 echo "ab: gate runner $GATE_PID exited at $(date -u +%H:%M:%S)"
 
 JAX_COMPILATION_CACHE_DIR=/tmp/jax_tpu_cache \

@@ -13,7 +13,13 @@ set -u
 FT_PID="${1:?usage: run_gate_r3c.sh <finetune_pid>}"
 cd "$(dirname "$0")/.."
 
-while kill -0 "$FT_PID" 2>/dev/null; do sleep 20; done
+# PID-reuse-safe wait: stop as soon as the pid is gone OR no longer the
+# fine-tune (a recycled pid must not park the gate forever). Superseded by
+# the marker-file pattern in run_round4_queue.sh for new work.
+while kill -0 "$FT_PID" 2>/dev/null \
+      && grep -q finetune_e2e "/proc/$FT_PID/cmdline" 2>/dev/null; do
+  sleep 20
+done
 echo "gate: fine-tune pid $FT_PID exited at $(date -u +%H:%M:%S)"
 
 env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
