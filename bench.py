@@ -187,7 +187,13 @@ def main():
         gather_bf16=os.environ.get("BENCH_GATHER_BF16", "0") == "1")
     params, trained = load_trained_params(model)
     apply_fn = jax.jit(lambda x: model.apply({"params": params}, x))
-    spline_fit = build_spline_fit(grid=20, log_dir="logs")
+    # BENCH_SPLINE_DIR: log dir whose checkpoints/{open,closed}_splinenet
+    # decoders the pipeline uses (default "logs"; empty dirs fall back to
+    # the committed params/*_splinenet.npz exports). The from-scratch gate
+    # points this at its isolated training dir so the candidate is measured
+    # with ITS decoders, not the shipped ones.
+    spline_fit = build_spline_fit(
+        grid=20, log_dir=os.environ.get("BENCH_SPLINE_DIR", "logs"))
 
     # Two deterministic held-out eval streams (VERDICT round-3 task 5):
     # stream "a" (seed 7, the default — all historical BENCH_r*.json numbers)

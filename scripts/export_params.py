@@ -55,23 +55,30 @@ def main():
                     help="output npz path (use a /tmp candidate path with "
                          "--e2e-ckpt so params/ stays pristine until the "
                          "bench gate passes)")
+    ap.add_argument("--log-dir", default="logs",
+                    help="training log dir holding checkpoints/ (e.g. "
+                         "logs_scratch for the isolated from-scratch "
+                         "workflow)")
+    ap.add_argument("--spline-out-prefix", default="params/",
+                    help="where the {open,closed}_splinenet.npz exports go "
+                         "(use a candidate prefix like logs/cand_ so "
+                         "params/ stays pristine until the gate passes)")
     args = ap.parse_args()
 
     seg = PrimitivesEmbedding(emb_size=128, num_primitives=10, mode=5, k=80)
     seg_t = {"params": seg.init(jax.random.PRNGKey(0),
                                 jnp.zeros((1, 256, 6)))["params"]}
+    ck = f"{args.log_dir}/checkpoints"
     if args.e2e_ckpt:
-        if not export(f"logs/checkpoints/{args.e2e_ckpt}", args.e2e_out,
-                      seg_t):
+        if not export(f"{ck}/{args.e2e_ckpt}", args.e2e_out, seg_t):
             raise SystemExit(1)
         return
-    export("logs/checkpoints/parsenet_e2e", args.e2e_out, seg_t) \
-        or export("logs/checkpoints/parsenet_seg_normals",
-                  args.e2e_out, seg_t)
+    export(f"{ck}/parsenet_e2e", args.e2e_out, seg_t) \
+        or export(f"{ck}/parsenet_seg_normals", args.e2e_out, seg_t)
     for name, mode in (("open_splinenet", 0), ("closed_splinenet", 1)):
         m = SplineNet(grid=20, k=10, mode=mode)
         v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 3)), train=False)
-        export(f"logs/checkpoints/{name}", f"params/{name}.npz",
+        export(f"{ck}/{name}", f"{args.spline_out_prefix}{name}.npz",
                {"params": v["params"], "batch_stats": v["batch_stats"]})
 
 
