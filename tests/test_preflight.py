@@ -50,13 +50,14 @@ def test_recovery_mid_budget(tmp_path):
     # first attempt fails (marker file absent -> exit 1, then creates it),
     # second attempt finds the marker and succeeds: the retry loop must
     # return True and log the recovery
+    # shell probe, not `python -c`: interpreter startup can exceed the
+    # per-probe timeout on the loaded 1-core host (same flake class as
+    # test_failing_probe_retries_then_gives_up, ADVICE round 3)
     marker = tmp_path / "up"
-    code = (f"import os,sys; p={str(marker)!r}\n"
-            "if os.path.exists(p): sys.exit(0)\n"
-            "open(p,'w').close(); sys.exit(1)\n")
+    code = f"if [ -e {marker} ]; then exit 0; else : > {marker}; exit 1; fi"
     logs = []
-    ok = wait_for_backend([PY, "-c", code], budget_s=30, probe_timeout_s=10,
-                          sleep_s=0.05, log=logs.append)
+    ok = wait_for_backend(["/bin/sh", "-c", code], budget_s=30,
+                          probe_timeout_s=10, sleep_s=0.05, log=logs.append)
     assert ok
     assert any("recovered on attempt 2" in l for l in logs)
 
