@@ -20,9 +20,22 @@ Usage:
       --cand logs/cand.npz --gate-a logs/cand_a.json \
       --gate-b logs/cand_b.json --shipped-b logs/shipped_b.json \
       --shipped-a-json BENCH_r03.json \
-      [--noise 0.02] [--dest params/parsenet_e2e.npz]
+      [--cand-spline-prefix logs/cand_scratch_] \
+      [--noise 0.02] [--dest params/parsenet_e2e.npz] [--bank artifacts/]
 
-Exit 0 = promoted (file copied); exit 1 = gate failed (params/ untouched);
+When the candidate was gated with ITS OWN SplineNet decoders
+(BENCH_SPLINE_DIR pointed at its training dir — e.g. the from-scratch
+lineage), pass --cand-spline-prefix: the gate then ships the FULL bundle
+{<prefix>e2e-candidate, <prefix>open_splinenet.npz,
+<prefix>closed_splinenet.npz} atomically, so params/ never holds an e2e
+checkpoint paired with decoders it was not measured with (round-4 verdict
+weak #2). All three files must exist before any is copied.
+
+--bank <dir> copies the three gate JSONs into <dir> (committed artifacts/)
+regardless of the verdict, so promotion runs bank their own evidence
+(round-4 verdict weak #1).
+
+Exit 0 = promoted (files copied); exit 1 = gate failed (params/ untouched);
 exit 2 = inputs missing/unparseable.
 """
 import argparse
@@ -68,6 +81,18 @@ def main():
     ap.add_argument("--noise", type=float, default=0.02)
     ap.add_argument("--dest", default=os.path.join(REPO, "params",
                                                    "parsenet_e2e.npz"))
+    ap.add_argument("--cand-spline-prefix", default="",
+                    help="promote the candidate's OWN SplineNet decoders "
+                         "(<prefix>{open,closed}_splinenet.npz) alongside "
+                         "the e2e npz — required when the gate ran with "
+                         "BENCH_SPLINE_DIR (atomic bundle promotion)")
+    ap.add_argument("--params-dir", default=os.path.join(REPO, "params"),
+                    help="where bundle decoders are shipped (tests only; "
+                         "the real gate always ships to params/)")
+    ap.add_argument("--bank", default="",
+                    help="directory to copy the three gate JSONs into "
+                         "(e.g. artifacts/) so the promotion run banks its "
+                         "own evidence")
     args = ap.parse_args()
 
     try:
@@ -93,6 +118,25 @@ def main():
     if not os.path.exists(args.cand):
         print(f"promote: candidate {args.cand} missing", file=sys.stderr)
         raise SystemExit(2)
+    # Bundle promotion: every file must exist BEFORE any is copied, so a
+    # half-missing bundle can never leave params/ in a mixed state.
+    spline_srcs = []
+    if args.cand_spline_prefix:
+        for name in ("open_splinenet", "closed_splinenet"):
+            p = f"{args.cand_spline_prefix}{name}.npz"
+            if not os.path.exists(p):
+                print(f"promote: bundle decoder {p} missing", file=sys.stderr)
+                raise SystemExit(2)
+            spline_srcs.append((p, os.path.join(args.params_dir,
+                                                f"{name}.npz")))
+
+    if args.bank:
+        os.makedirs(args.bank, exist_ok=True)
+        for src in (args.gate_a, args.gate_b, args.shipped_b):
+            dst = os.path.join(args.bank, os.path.basename(src))
+            if os.path.abspath(src) != os.path.abspath(dst):
+                shutil.copyfile(src, dst)
+        print(f"promote: banked gate artifacts -> {args.bank}")
 
     checks = [
         ("stream-a measured at 10k", a.get("num_points") == 10000),
@@ -103,12 +147,35 @@ def main():
          f"{shipped_a_iou:.4f}", a["seg_iou"] >= shipped_a_iou),
         ("stream-b is stream b", b.get("stream") == "b"
          and sb.get("stream") == "b"),
+        # the stream-b arms must be the SAME full-scale trained protocol as
+        # stream a — a reduced-scale or untrained-params b-measurement would
+        # silently satisfy the noise band (round-4 advisor finding)
+        ("stream-b measured at 10k", b.get("num_points") == 10000
+         and sb.get("num_points") == 10000),
+        ("stream-b trained params", bool(b.get("trained_params"))
+         and bool(sb.get("trained_params"))),
         (f"stream-b seg_iou {b['seg_iou']:.4f} >= shipped-b "
          f"{sb['seg_iou']:.4f} - {args.noise}",
          b["seg_iou"] >= sb["seg_iou"] - args.noise),
         (f"stream-b sk_2 {b['sk_2']:.4f} >= shipped-b {sb['sk_2']:.4f} "
          f"- {args.noise}", b["sk_2"] >= sb["sk_2"] - args.noise),
     ]
+    # Decoder-consistency: if the gate artifacts record which SplineNet
+    # source they measured with (bench.py "spline_src", round-5 field), the
+    # promotion mode must match — candidate-decoder gates ("<dir>/checkpoints")
+    # require bundle promotion, shipped-decoder gates ("params") forbid it.
+    # Old artifacts without the field skip this check.
+    for label, det in (("gate-a", a), ("gate-b", b)):
+        src = det.get("spline_src")
+        if src is None:
+            continue
+        if args.cand_spline_prefix:
+            checks.append((f"{label} measured with candidate decoders "
+                           f"(spline_src={src})", src != "params"))
+        else:
+            checks.append((f"{label} measured with shipped decoders "
+                           f"(spline_src={src})", src == "params"))
+
     ok = True
     for name, passed in checks:
         print(f"promote: [{'PASS' if passed else 'FAIL'}] {name}")
@@ -116,6 +183,9 @@ def main():
     if not ok:
         print("promote: GATE FAILED — params/ untouched", file=sys.stderr)
         raise SystemExit(1)
+    for src, dst in spline_srcs:
+        shutil.copyfile(src, dst)
+        print(f"promote: PROMOTED decoder {src} -> {dst}")
     shutil.copyfile(args.cand, args.dest)
     print(f"promote: PROMOTED {args.cand} -> {args.dest} "
           f"(seg_iou {a['seg_iou']:.4f}, stream-b seg_iou {b['seg_iou']:.4f})")
