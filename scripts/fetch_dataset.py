@@ -94,12 +94,12 @@ def _check_h5(path: str, keys: dict, n_points: int = None) -> list:
     return problems
 
 
-def validate(dest: str) -> int:
+def validate(dest: str, n_points: int = 10000) -> int:
     problems = []
     for split in ("train", "val", "test"):
         problems += _check_h5(
             os.path.join(dest, "data", "shapes", f"{split}_data.h5"),
-            SHAPE_KEYS, n_points=10000)
+            SHAPE_KEYS, n_points=n_points)
     for fam in ("open", "closed"):
         problems += _check_h5(
             os.path.join(dest, "data", "spline", f"{fam}_splines.h5"),
@@ -115,12 +115,15 @@ def main():
     ap.add_argument("--source", default=DEFAULT_SOURCE)
     ap.add_argument("--dest", default=REPO)
     ap.add_argument("--validate-only", action="store_true")
+    ap.add_argument("--num-points", type=int, default=10000,
+                    help="expected points per shape (the real ABC protocol "
+                         "is 10000; reduced-scale drills override)")
     ap.add_argument("--sha256", action="append", default=[],
                     metavar="FILE=HEX",
                     help="optional integrity pins, e.g. data.zip=abc123...")
     args = ap.parse_args()
     if args.validate_only:
-        sys.exit(validate(args.dest))
+        sys.exit(validate(args.dest, args.num_points))
 
     pins = dict(s.split("=", 1) for s in args.sha256)
     os.makedirs(os.path.join(args.dest, "logs"), exist_ok=True)
@@ -138,7 +141,7 @@ def main():
         print(f"extracted {len(members)} files from data.zip")
     os.replace(os.path.join(args.dest, "predictions.h5"),
                os.path.join(args.dest, "logs", "predictions.h5"))
-    sys.exit(validate(args.dest))
+    sys.exit(validate(args.dest, args.num_points))
 
 
 if __name__ == "__main__":

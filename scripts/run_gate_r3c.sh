@@ -33,4 +33,7 @@ JAX_COMPILATION_CACHE_DIR=/tmp/jax_tpu_cache \
 rc=$?
 echo "gate: bench rc=$rc"
 cat logs/gate_r3c.json
+# bank terminal artifacts into committed artifacts/ (queue_lib contract)
+. "$(dirname "$0")/queue_lib.sh"
+bank logs/gate_r3c.json
 exit $rc

@@ -26,7 +26,10 @@ step "chip free ($(grep -c FAILED logs/r4s_queue.log 2>/dev/null || echo 0) FAIL
 
 arm() { # arm <label> <env...>
   label="$1"; shift
-  if grep -q "\"arm\": \"$label\"" "$OUT" 2>/dev/null; then
+  # resume-skip only on a SUCCESSFUL record: an {"arm": ..., "error": rc}
+  # line means the arm failed (possibly transiently — relay wedge, the
+  # exact failure mode this queue is built around) and must be retried
+  if grep -q "\"arm\": \"$label\", \"result\"" "$OUT" 2>/dev/null; then
     step "skip arm $label"; return 0; fi
   step "arm $label: start"
   out=$(timeout 3000 env "$@" python scripts/bench_train.py e2e 2>logs/r4_arm_"$label".err)
@@ -56,5 +59,9 @@ arm ms2048 BT_MS_SAMPLES=2048
 arm bf16 BT_BF16=1
 arm bf16_ms2048 BT_BF16=1 BT_MS_SAMPLES=2048
 arm remat BT_REMAT=1
+
+# bank the sweep + arms into committed artifacts/ (queue_lib contract)
+. "$(dirname "$0")/queue_lib.sh"
+bank "$OUT" logs/r4_e2e_ablate.log || true
 
 step "chain complete"

@@ -106,4 +106,10 @@ else
   sed -n '/| recall |/,$p' logs/r4_ab_knn.log
 fi
 
+# bank terminal artifacts into committed artifacts/ (queue_lib contract);
+# promotion itself already runs through scripts/promote_candidate.py above
+. "$(dirname "$0")/queue_lib.sh"
+bank logs/ab_knn_r4.json logs/r4_cand_a.json logs/r4_cand_b.json \
+     logs/r4_shipped_b.json || true
+
 step "queue complete"

@@ -123,5 +123,17 @@ gate() { # gate <out.json> <stream>
 gate logs/r4s_gate_a.json a
 gate logs/r4s_gate_b.json b
 
-step "scratch queue complete — floors verdict:"
-grep -o '"quality_ok": [a-z]*' logs/r4s_gate_a.json || true
+# --- 8: bank terminal artifacts + promote through the real gate ---------------
+# (queue_lib contract: a queue must never end at "complete" + grep — that is
+# how rounds 3 AND 4 stranded their best results in gitignored logs/)
+. "$(dirname "$0")/queue_lib.sh"
+bank logs/r4s_gate_a.json logs/r4s_gate_b.json || true
+step "promotion gate (atomic bundle: e2e + both decoders)"
+python scripts/promote_candidate.py \
+  --cand logs/cand_scratch_e2e.npz \
+  --gate-a logs/r4s_gate_a.json --gate-b logs/r4s_gate_b.json \
+  --shipped-b artifacts/r4_shipped_b.json \
+  --shipped-a-json BENCH_r04.json \
+  --cand-spline-prefix logs/cand_scratch_ \
+  --bank artifacts/
+step "scratch queue complete (promotion rc=$?)"
