@@ -229,8 +229,15 @@ def main():
     from parsenet_tpu.train.train_e2e import build_spline_fit
 
     n_dev = len(jax.devices())
+    # BENCH_DGCNN_BF16=1: bf16 COMPUTE dtype through the whole DGCNN
+    # (activations + Dense matmuls; params and GroupNorm statistics stay
+    # f32) — round-5 roofline lever. Distinct from BENCH_GATHER_BF16, which
+    # only halves the neighbour-gather bytes (measured slightly NEGATIVE,
+    # RESULTS.md round-3 table). Quality-floored like every bench knob.
+    dgcnn_bf16 = os.environ.get("BENCH_DGCNN_BF16", "0") == "1"
     model = PrimitivesEmbedding(
         emb_size=128, num_primitives=10, mode=5, k=80,
+        dtype=jnp.bfloat16 if dgcnn_bf16 else jnp.float32,
         gather_bf16=os.environ.get("BENCH_GATHER_BF16", "0") == "1")
     params, trained = load_trained_params(model)
     apply_fn = jax.jit(lambda x: model.apply({"params": params}, x))
@@ -422,6 +429,7 @@ def main():
             "p_cov": round(cov_mean, 5),
             "sk_2": round(sk2_mean, 4),
             "trained_params": trained,
+            "dgcnn_bf16": dgcnn_bf16,
             "quality_ok": quality_ok,
             "floors_applied": floors_applied,
             "spline_src": spline_src,

@@ -88,6 +88,11 @@ class Config:
     seed: int = 0
     num_devices: int = 0          # 0 => use all local devices
     half_precision: bool = False  # bf16 matmuls in the networks
+    # e2e trainer: use the quality-gated fast train step (FAST_STEP_KNOBS in
+    # train_e2e.py — strided residual/spline/SIOU evaluation + cheap
+    # mean-shift escalation attempts; gradient-cosine > 0.9 vs the default
+    # graph, tests/test_train_knobs.py)
+    fast_step: bool = False
     log_dir: str = "logs"
     # kNN neighbourhood (reference hardcodes nn_nb=80 for seg, 10 for splines)
     knn_k: int = 80

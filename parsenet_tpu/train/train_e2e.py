@@ -96,14 +96,30 @@ def build_spline_fit(grid: int = 20, sample_grid: int = 30,
                              jnp.asarray(nu_c), jnp.asarray(nv_c))
 
 
+# The quality-gated fast-step bundle (Config.fast_step / BT_FAST=1): strided
+# residual/spline/SIOU evaluation + 2-iteration stop-gradient escalation
+# attempts. Each knob is a strict superset of the reference's own
+# subsampling (fitting_loss_shape docstring); tests/test_train_knobs.py pins
+# loss proximity and gradient-cosine > 0.9 vs the default graph.
+FAST_STEP_KNOBS = dict(spline_stride=4, residual_stride=2, siou_stride=2,
+                       ms_attempt_iterations=2)
+
+
 def make_e2e_step(model: PrimitivesEmbedding, spline_fit,
                   quantile: float = 0.025, iterations: int = 5,
                   lamb: float = 0.1, ms_num_samples: int = 2048,
                   with_normals: bool = True, num_accum: int = 1,
+                  spline_stride: int = 2, residual_stride: int = 1,
+                  siou_stride: int = 1,
+                  ms_attempt_iterations=None, ms_attempt_pallas: bool = False,
                   ablate: tuple = ()):
     """num_accum > 1 accumulates gradients over micro-batches inside the
     jitted step via lax.scan (the reference loops .backward() five times,
     train_parsenet_e2e.py:174-294); inputs then carry a leading [A] axis.
+
+    spline_stride / residual_stride / siou_stride / ms_attempt_*: perf
+    knobs forwarded to fitting_loss_shape (see its docstring for the
+    reference-parity argument per knob).
 
     ablate: static stage-costing knob for scripts/bench_train.py only (see
     fitting_loss_shape). Extra arms at this level: "fit" skips the whole
@@ -133,8 +149,13 @@ def make_e2e_step(model: PrimitivesEmbedding, spline_fit,
                     spline_fit=spline_fit, quantile=quantile,
                     iterations=iterations, lamb=lamb,
                     ms_num_samples=ms_num_samples,
+                    spline_stride=spline_stride,
+                    residual_stride=residual_stride,
+                    siou_stride=siou_stride,
+                    ms_attempt_iterations=ms_attempt_iterations,
+                    ms_attempt_pallas=ms_attempt_pallas,
                     ablate=tuple(a for a in ablate
-                                 if a in ("ms", "match", "fits")))
+                                 if a in ("ms", "match", "fits", "siou")))
             )(points, normals, emb, labels, prim, pred_prim, keys)
         res_loss = jnp.mean(fit_out.loss)
         total = e_loss + p_loss + res_loss
@@ -255,9 +276,12 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
                                   closed_vars=closed_vars,
                                   log_dir=config.log_dir)
     num_accum = max(config.accum, 1)  # reference e2e accumulates 5 steps
+    step_kw = dict(FAST_STEP_KNOBS) if config.fast_step else {}
+    if config.fast_step:
+        log.info("fast_step: %s", step_kw)
     train_step, eval_step = make_e2e_step(model, spline_fit, lamb=lamb,
                                           with_normals=with_normals,
-                                          num_accum=num_accum)
+                                          num_accum=num_accum, **step_kw)
     ckpt = Checkpointer(f"{config.log_dir}/checkpoints/{config.model_path}")
     host_rng = np.random.RandomState(config.seed + 1)
     key = jax.random.PRNGKey(config.seed + 3)

@@ -100,6 +100,22 @@ def bench_e2e(batch=1, n_points=8000, steps=3, ablate=None, tag=""):
     batch = int(os.environ.get("BT_BATCH", batch))
     n_points = int(os.environ.get("BT_POINTS", n_points))
     ms_samples = int(os.environ.get("BT_MS_SAMPLES", 5000))
+    # round-5 perf knobs (fitting_loss_shape docstring has the
+    # reference-parity argument per knob); BT_FAST=1 = the exact
+    # Config.fast_step bundle the trainer ships (FAST_STEP_KNOBS)
+    from parsenet_tpu.train.train_e2e import FAST_STEP_KNOBS
+    fast = dict(FAST_STEP_KNOBS) if os.environ.get("BT_FAST", "0") == "1" \
+        else {}
+    spline_stride = int(os.environ.get("BT_SPLINE_STRIDE",
+                                       fast.get("spline_stride", 2)))
+    residual_stride = int(os.environ.get("BT_RES_STRIDE",
+                                         fast.get("residual_stride", 1)))
+    siou_stride = int(os.environ.get("BT_SIOU_STRIDE",
+                                     fast.get("siou_stride", 1)))
+    ms_att = int(os.environ.get("BT_MS_ATT",
+                                fast.get("ms_attempt_iterations", 0) or 0)) \
+        or None
+    ms_att_pallas = os.environ.get("BT_MS_PALLAS", "0") == "1"
     if ablate is None:
         ablate = tuple(a for a in os.environ.get("BT_ABLATE", "").split(",")
                        if a)
@@ -112,6 +128,9 @@ def bench_e2e(batch=1, n_points=8000, steps=3, ablate=None, tag=""):
     spline_fit = None if "splines" in ablate else build_spline_fit(grid=20)
     train_step, eval_step = make_e2e_step(
         model, spline_fit, iterations=5, ms_num_samples=ms_samples,
+        spline_stride=spline_stride, residual_stride=residual_stride,
+        siou_stride=siou_stride, ms_attempt_iterations=ms_att,
+        ms_attempt_pallas=ms_att_pallas,
         ablate=tuple(a for a in ablate if a != "splines"))
     host = np.random.RandomState(0)
     pts, labels, normals, prim = make_shape_batch(host, batch, n_points)
@@ -136,6 +155,10 @@ def bench_e2e(batch=1, n_points=8000, steps=3, ablate=None, tag=""):
     detail = {"step_ms": round(dt * 1e3, 1), "batch": batch,
               "points": n_points, "bf16": _BF16, "remat": _REMAT,
               "ms_samples": ms_samples,
+              "spline_stride": spline_stride,
+              "residual_stride": residual_stride,
+              "siou_stride": siou_stride,
+              "ms_att": ms_att or 0, "ms_att_pallas": ms_att_pallas,
               "ablate": ",".join(ablate) + (",nograd" if nograd else ""),
               "res_loss": float(m["res_loss"])}
     if not nograd:
@@ -153,7 +176,8 @@ def bench_e2e_ablate():
     full step localize where the ~200 ms goes (VERDICT round-3 task 6)."""
     arms = [("full", ()), ("nograd", ("nograd",)), ("netgrad", ("netgrad",)),
             ("fit", ("fit",)), ("ms", ("ms",)), ("match", ("match",)),
-            ("fits", ("fits",)), ("splines", ("splines",))]
+            ("fits", ("fits",)), ("splines", ("splines",)),
+            ("siou", ("siou",))]
     times = {}
     for tag, ab in arms:
         times[tag] = bench_e2e(ablate=ab, tag=tag)

@@ -37,6 +37,14 @@ def main():
                          "continuation of an already-converged checkpoint")
     ap.add_argument("--val-points", type=int, default=10000)
     ap.add_argument("--val-shapes", type=int, default=24)
+    ap.add_argument("--fast-step", action="store_true",
+                    help="train with the Config.fast_step knob bundle "
+                         "(FAST_STEP_KNOBS) — the round-5 quality gate for "
+                         "the fast e2e train step: a short continuation "
+                         "trained this way must stay floors-green")
+    ap.add_argument("--model-path", default="parsenet_e2e_ft",
+                    help="checkpoint name under logs/checkpoints/ (never "
+                         "a name bench.py restores)")
     args = ap.parse_args()
 
     from parsenet_tpu.core.checkpoint import load_npz_params
@@ -47,10 +55,11 @@ def main():
     cfg = load_config(os.path.join(REPO, "configs/config_parsenet_e2e.yml"),
                       num_train=180, num_val=160, num_test=160,
                       num_epochs=args.epochs, lr=args.lr,
-                      model_path="parsenet_e2e_ft",
+                      model_path=args.model_path,
+                      fast_step=args.fast_step,
                       pretrain_model_path="")
-    setup_logging(cfg.log_dir, "parsenet_e2e_ft")
-    snapshot_config(cfg, cfg.log_dir, "parsenet_e2e_ft")
+    setup_logging(cfg.log_dir, args.model_path)
+    snapshot_config(cfg, cfg.log_dir, args.model_path)
     npz = load_npz_params(os.path.join(REPO, "params", "parsenet_e2e.npz"))
     if npz is None:
         raise SystemExit("params/parsenet_e2e.npz missing — nothing to "

@@ -1,0 +1,136 @@
+"""Round-5 e2e train-step perf knobs stay numerically faithful.
+
+The knobs (spline_stride, residual_stride, siou_stride,
+ms_attempt_iterations, ms_attempt_pallas) exist to hit the >=7 shapes/s
+target on the chip; each is a strict superset of the reference's own
+subsampling (fitting_loss_shape docstring). These tests pin that turning
+them on at tiny scale (a) runs finite with grad_ok, (b) leaves the loss
+value close to the default graph, and (c) keeps the GRADIENT direction
+aligned with the default graph — the property that actually decides
+whether training with the fast step reaches the same optimum.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from parsenet_tpu.data.synthetic import make_shape_batch
+from parsenet_tpu.models.dgcnn import PrimitivesEmbedding
+from parsenet_tpu.train.state import create_state
+from parsenet_tpu.train.train_e2e import (FAST_STEP_KNOBS, build_spline_fit,
+                                          make_e2e_step)
+
+N_PTS = 512
+
+# test the EXACT bundle Config.fast_step ships
+FAST = FAST_STEP_KNOBS
+
+
+def _setup(**knobs):
+    model = PrimitivesEmbedding(emb_size=16, num_primitives=10, mode=5, k=4)
+    state = create_state(model, jax.random.PRNGKey(0),
+                         (jnp.zeros((1, N_PTS, 6)),))
+    spline_fit = build_spline_fit(grid=10, sample_grid=8)
+    step, eval_step = make_e2e_step(model, spline_fit, iterations=5,
+                                    ms_num_samples=N_PTS, **knobs)
+    host = np.random.RandomState(0)
+    pts, labels, normals, prim = make_shape_batch(host, 1, N_PTS,
+                                                  min_segments=2,
+                                                  max_segments=4)
+    x = jnp.asarray(np.concatenate([pts, normals], -1).astype(np.float32))
+    return state, step, eval_step, x, jnp.asarray(labels), jnp.asarray(prim)
+
+
+def _grads_and_metrics(knobs, x, lb, pb, state):
+    """Gradient of the full e2e loss wrt params under the given knobs."""
+    model = PrimitivesEmbedding(emb_size=16, num_primitives=10, mode=5, k=4)
+    spline_fit = build_spline_fit(grid=10, sample_grid=8)
+    step, eval_step = make_e2e_step(model, spline_fit, iterations=5,
+                                    ms_num_samples=N_PTS, **knobs)
+    new_state, m = step(state, x, lb, pb, jax.random.PRNGKey(1),
+                        jnp.float32(0.0))  # lr=0: state.params unchanged
+    return m
+
+
+def test_fast_knobs_run_finite_with_grads():
+    state, step, _, x, lb, pb = _setup(**FAST)
+    state, m = step(state, x, lb, pb, jax.random.PRNGKey(1),
+                    jnp.float32(1e-4))
+    for k in ("res_loss", "embed_loss", "prim_loss", "seg_iou"):
+        assert np.isfinite(float(m[k])), (k, m[k])
+    assert float(m["grad_ok"]) == 1.0
+
+
+def test_fast_loss_close_to_default():
+    state, _, eval_default, x, lb, pb = _setup()
+    _, _, eval_fast, _, _, _ = _setup(**FAST)
+    m0 = eval_default(state, x, lb, pb, jax.random.PRNGKey(1))
+    m1 = eval_fast(state, x, lb, pb, jax.random.PRNGKey(1))
+    # the residual loss is a mean over (sub)sampled points of the same
+    # surfaces; striding changes the estimator, not the quantity
+    r0, r1 = float(m0["res_loss"]), float(m1["res_loss"])
+    assert abs(r1 - r0) <= 0.3 * max(abs(r0), 1e-3), (r0, r1)
+    # SIOU metric on a stride-2 subsample stays within a few points
+    assert abs(float(m1["seg_iou"]) - float(m0["seg_iou"])) < 0.08
+
+
+def test_fast_gradient_direction_matches_default():
+    model = PrimitivesEmbedding(emb_size=16, num_primitives=10, mode=5, k=4)
+    state = create_state(model, jax.random.PRNGKey(0),
+                         (jnp.zeros((1, N_PTS, 6)),))
+    spline_fit = build_spline_fit(grid=10, sample_grid=8)
+    host = np.random.RandomState(0)
+    pts, labels, normals, prim = make_shape_batch(host, 1, N_PTS,
+                                                  min_segments=2,
+                                                  max_segments=4)
+    x = jnp.asarray(np.concatenate([pts, normals], -1).astype(np.float32))
+    lb, pb = jnp.asarray(labels), jnp.asarray(prim)
+
+    def grads_for(knobs):
+        from parsenet_tpu.fitting.pipeline import fitting_loss_shape
+        from parsenet_tpu.losses.embedding import (primitive_nll_loss,
+                                                   triplet_loss)
+
+        def loss(params):
+            emb, prim_logp = model.apply({"params": params}, x)
+            k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+            e = triplet_loss(emb, lb, k1)
+            p = primitive_nll_loss(prim_logp, pb)
+            out = fitting_loss_shape(
+                x[0, :, :3], x[0, :, 3:6], emb[0], lb[0], pb[0],
+                jax.random.split(k2, 1)[0],
+                spline_fit=spline_fit, ms_num_samples=N_PTS, **knobs)
+            return e + p + out.loss
+
+        return jax.grad(loss)(state.params)
+
+    g0 = grads_for({})
+    g1 = grads_for(FAST)
+    v0 = jnp.concatenate([g.ravel() for g in jax.tree_util.tree_leaves(g0)])
+    v1 = jnp.concatenate([g.ravel() for g in jax.tree_util.tree_leaves(g1)])
+    cos = float(jnp.vdot(v0, v1) / (jnp.linalg.norm(v0) *
+                                    jnp.linalg.norm(v1) + 1e-12))
+    assert np.isfinite(cos)
+    assert cos > 0.9, f"fast-step gradient diverges from default: cos={cos}"
+
+
+def test_ms_attempt_pallas_interpret_path():
+    """ms_attempt_pallas routes the stop-gradient escalation attempts
+    through the Pallas kernel; on CPU the interpret path exercises the
+    same code. The accepted re-run is always the differentiable XLA pass,
+    so labels/bandwidth must match the default exactly."""
+    from parsenet_tpu.ops.mean_shift import guard_mean_shift
+    host = np.random.RandomState(2)
+    X = jnp.asarray(host.randn(256, 8).astype(np.float32))
+    X = X / jnp.linalg.norm(X, axis=-1, keepdims=True)
+    a = guard_mean_shift(X, 0.1, key=jax.random.PRNGKey(0), num_samples=256,
+                         iterations=5)
+    b = guard_mean_shift(X, 0.1, key=jax.random.PRNGKey(0), num_samples=256,
+                         iterations=5, attempt_iterations=2,
+                         use_pallas=True, pallas_interpret=True)
+    assert float(a.bandwidth) == pytest.approx(float(b.bandwidth), rel=1e-5)
+    # same accepted bandwidth + same differentiable re-run => same labels
+    np.testing.assert_array_equal(np.asarray(a.labels), np.asarray(b.labels))
