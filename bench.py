@@ -406,7 +406,10 @@ def main():
     # floors_applied makes that self-describing in the artifact: a stream-b /
     # reduced-scale / untrained run prints quality_ok=true with
     # floors_applied=false, so parsers cannot misread "floors green" into it.
-    floors_applied = trained and NUM_POINTS == 10000 and stream == "a"
+    # an ablated program is NOT the production pipeline (stubbed stages
+    # report zeroed metrics by design), so stage-costing runs never floor
+    floors_applied = (trained and NUM_POINTS == 10000 and stream == "a"
+                      and not ablate)
     quality_ok = (not floors_applied) or (
         seg_iou >= FLOOR_SEG_IOU and residual <= CEIL_RESIDUAL
         and sk2_mean >= FLOOR_SK2)
@@ -430,6 +433,7 @@ def main():
             "sk_2": round(sk2_mean, 4),
             "trained_params": trained,
             "dgcnn_bf16": dgcnn_bf16,
+            "ablate": ",".join(ablate),
             "quality_ok": quality_ok,
             "floors_applied": floors_applied,
             "spline_src": spline_src,
