@@ -100,7 +100,9 @@ def _ms_model() -> dict:
                  + 2 * N * MS_SAMPLES * EMB)
     byts = B * (MS_ITERS * MS_SAMPLES * EMB * 2 + N * EMB * 4)
     return dict(flops=flops, bytes=byts,
-                note="Pallas fused tiles: [S,S] scores never hit HBM")
+                note="Pallas fused tiles; measured arm also includes SIOU "
+                     "matching (bench 'ms' ablation stubs seg_iou too — "
+                     "VPU/gather work, ~69 ms/batch in round 2)")
 
 
 def _splines_model() -> dict:
