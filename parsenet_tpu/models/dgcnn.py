@@ -138,24 +138,30 @@ class DGCNNEncoder(nn.Module):
     remat: bool = False  # rematerialize EdgeConvs: trades recompute for the
     # [B, N, k, C] activation memory in the backward pass (large batches)
     gather_bf16: bool = False
+    knn_recall: float = 0.0  # approx_max_k recall override for the three
+    # graph builds; 0.0 = library env default (0.95). The fast train-step
+    # bundle sets 0.85 (quality-gated; the r4 A/B measured <=0.7pt seg IoU
+    # across exact->0.85 at EVAL — artifacts/ab_knn_r4.json).
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         # x: [B, N, C_in] -> (global [B, 1024], skip [B, N, 256])
         EC = nn.remat(EdgeConv) if self.remat else EdgeConv
         gb = self.gather_bf16
+        rc = self.knn_recall
         if self.mode == 5:
-            idx = knn_ops.knn_points_normals(x, k1=self.k, k2=self.k)
+            idx = knn_ops.knn_points_normals(x, k1=self.k, k2=self.k,
+                                             recall=rc)
         else:
-            idx = knn_ops.knn(x, k1=self.k, k2=self.k)
+            idx = knn_ops.knn(x, k1=self.k, k2=self.k, recall=rc)
         x1 = EC(64, groups=2, name="conv1", dtype=self.dtype,
                 gather_bf16=gb)(x, idx)
 
-        idx = knn_ops.knn(x1, k1=self.k, k2=self.k)
+        idx = knn_ops.knn(x1, k1=self.k, k2=self.k, recall=rc)
         x2 = EC(64, groups=2, name="conv2", dtype=self.dtype,
                 gather_bf16=gb)(x1, idx)
 
-        idx = knn_ops.knn(x2, k1=self.k, k2=self.k)
+        idx = knn_ops.knn(x2, k1=self.k, k2=self.k, recall=rc)
         x3 = EC(128, groups=2, name="conv3", dtype=self.dtype,
                 gather_bf16=gb)(x2, idx)
 
@@ -185,6 +191,7 @@ class PrimitivesEmbedding(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     gather_bf16: bool = False
+    knn_recall: float = 0.0  # see DGCNNEncoder.knn_recall
 
     @nn.compact
     def __call__(self, points: jnp.ndarray):
@@ -193,7 +200,8 @@ class PrimitivesEmbedding(nn.Module):
         global_feat, skip = DGCNNEncoder(mode=self.mode, k=self.k,
                                          name="encoder", dtype=dt,
                                          remat=self.remat,
-                                         gather_bf16=self.gather_bf16)(points)
+                                         gather_bf16=self.gather_bf16,
+                                         knn_recall=self.knn_recall)(points)
         h = jnp.concatenate(
             [jnp.broadcast_to(global_feat[:, None, :], (B, N, 1024)), skip],
             axis=-1)

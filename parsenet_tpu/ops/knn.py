@@ -70,22 +70,24 @@ EXACT_DEFAULT = os.environ.get("PARSENET_KNN_EXACT", "0") == "1"
 
 
 def _topk_neighbors(neg_dist_chunk: jnp.ndarray, k2: int, stride: int,
-                    exact: bool) -> jnp.ndarray:
+                    exact: bool, recall: float = 0.0) -> jnp.ndarray:
     if exact or jax.default_backend() != "tpu":
         idx = lax.top_k(neg_dist_chunk, k2)[1]
     else:
         # TPU-native partial-reduce top-k: ~10-50x faster than the
-        # sort-based exact lowering at n=10k; APPROX_RECALL neighbour
-        # recall is inconsequential for EdgeConv max-aggregation
+        # sort-based exact lowering at n=10k; neighbour recall is
+        # inconsequential for EdgeConv max-aggregation. recall=0.0 -> the
+        # APPROX_RECALL env default (0.95); callers opt into a cheaper
+        # target explicitly (models pass knn_recall, bench via env).
         idx = lax.approx_max_k(neg_dist_chunk, k2,
-                               recall_target=APPROX_RECALL)[1]
+                               recall_target=recall or APPROX_RECALL)[1]
     if stride > 1:
         idx = idx[..., ::stride]
     return idx
 
 
 def _knn_single(x: jnp.ndarray, k1: int, k2: int, chunk: int,
-                exact: bool = False) -> jnp.ndarray:
+                exact: bool = False, recall: float = 0.0) -> jnp.ndarray:
     """kNN for one shape. x: [N, C] -> idx [N, k1]."""
     n = x.shape[0]
     stride = max(k2 // k1, 1)
@@ -94,7 +96,7 @@ def _knn_single(x: jnp.ndarray, k1: int, k2: int, chunk: int,
     def body(q):  # q: [chunk, C]
         neg = 2.0 * jnp.dot(q, x.T, preferred_element_type=jnp.float32)
         neg = neg - jnp.sum(q * q, axis=-1, keepdims=True) - xx[None, :]
-        return _topk_neighbors(neg, k2, stride, exact)
+        return _topk_neighbors(neg, k2, stride, exact, recall)
 
     qs = x.reshape(n // chunk, chunk, x.shape[1])
     idx = lax.map(body, qs)
@@ -102,7 +104,7 @@ def _knn_single(x: jnp.ndarray, k1: int, k2: int, chunk: int,
 
 
 def _knn_pn_single(x: jnp.ndarray, k1: int, k2: int, chunk: int,
-                   exact: bool = False) -> jnp.ndarray:
+                   exact: bool = False, recall: float = 0.0) -> jnp.ndarray:
     """Joint point/normal metric kNN for one shape. x: [N, 6] -> idx [N, k1].
 
     d = d_points * (1 + d_normals) with d_normals = 2 - 2 <n_i, n_j>
@@ -119,36 +121,42 @@ def _knn_pn_single(x: jnp.ndarray, k1: int, k2: int, chunk: int,
                - 2.0 * jnp.dot(qp, p.T, preferred_element_type=jnp.float32)
                + pp[None, :])
         d_n = 2.0 - 2.0 * jnp.dot(qn, nrm.T, preferred_element_type=jnp.float32)
-        return _topk_neighbors(-(d_p * (1.0 + d_n)), k2, stride, exact)
+        return _topk_neighbors(-(d_p * (1.0 + d_n)), k2, stride, exact, recall)
 
     qs = (p.reshape(n // chunk, chunk, 3), nrm.reshape(n // chunk, chunk, 3))
     idx = lax.map(body, qs)
     return idx.reshape(n, -1)[:, :k1]
 
 
-@functools.partial(jax.jit, static_argnames=("k1", "k2", "chunk", "exact"))
+@functools.partial(jax.jit,
+                   static_argnames=("k1", "k2", "chunk", "exact", "recall"))
 def knn(x: jnp.ndarray, k1: int, k2: Optional[int] = None, chunk: int = 0,
-        exact: bool = False) -> jnp.ndarray:
+        exact: bool = False, recall: float = 0.0) -> jnp.ndarray:
     """Batched kNN indices. x: [B, N, C] -> [B, N, k1] (no gradients flow).
 
     k2 > k1 gives the reference's dilated selection (stride = k2 // k1).
     exact=True forces the exact sort-based top-k (CPU always exact).
+    recall=0.0 -> the APPROX_RECALL env default; a nonzero value overrides
+    it per call (the fast train-step bundle passes 0.85 via the model's
+    knn_recall attribute).
     """
     k2 = k2 or k1
     c = chunk or _row_chunks(x.shape[1])
     exact = exact or EXACT_DEFAULT
-    idx = jax.vmap(lambda xb: _knn_single(xb, k1, k2, c, exact))(x)
+    idx = jax.vmap(lambda xb: _knn_single(xb, k1, k2, c, exact, recall))(x)
     return lax.stop_gradient(idx)
 
 
-@functools.partial(jax.jit, static_argnames=("k1", "k2", "chunk", "exact"))
+@functools.partial(jax.jit,
+                   static_argnames=("k1", "k2", "chunk", "exact", "recall"))
 def knn_points_normals(x: jnp.ndarray, k1: int, k2: Optional[int] = None,
-                       chunk: int = 0, exact: bool = False) -> jnp.ndarray:
+                       chunk: int = 0, exact: bool = False,
+                       recall: float = 0.0) -> jnp.ndarray:
     """Batched joint point/normal kNN. x: [B, N, 6] -> [B, N, k1]."""
     k2 = k2 or k1
     c = chunk or _row_chunks(x.shape[1])
     exact = exact or EXACT_DEFAULT
-    idx = jax.vmap(lambda xb: _knn_pn_single(xb, k1, k2, c, exact))(x)
+    idx = jax.vmap(lambda xb: _knn_pn_single(xb, k1, k2, c, exact, recall))(x)
     return lax.stop_gradient(idx)
 
 

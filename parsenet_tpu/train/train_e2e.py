@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 import time
 from typing import Iterator, Optional
 
@@ -101,8 +102,14 @@ def build_spline_fit(grid: int = 20, sample_grid: int = 30,
 # attempts. Each knob is a strict superset of the reference's own
 # subsampling (fitting_loss_shape docstring); tests/test_train_knobs.py pins
 # loss proximity and gradient-cosine > 0.9 vs the default graph.
+# The bundle ALSO builds the TRAIN-time kNN graphs at approx_max_k recall
+# 0.85 (FAST_KNN_RECALL -> PrimitivesEmbedding.knn_recall, run_training) —
+# graph indices are stop-gradient, the r4 eval A/B measured <=0.7pt seg IoU
+# exact->0.85 (artifacts/ab_knn_r4.json), and the fast-step fine-tune gate
+# validates the whole bundle at default eval settings.
 FAST_STEP_KNOBS = dict(spline_stride=4, residual_stride=2, siou_stride=2,
                        ms_attempt_iterations=2)
+FAST_KNN_RECALL = 0.85
 
 
 def make_e2e_step(model: PrimitivesEmbedding, spline_fit,
@@ -250,6 +257,14 @@ def run_training(config: Config, train_gen: Optional[Iterator] = None,
     with_normals = config.mode == 5
     hp = {"dtype": jnp.bfloat16, "gather_bf16": True} \
         if config.half_precision else {}
+    if config.fast_step:
+        # part of the fast-step bundle (FAST_STEP_KNOBS comment): cheaper
+        # train-graph builds. EVAL paths keep the library default — the
+        # fast-step fine-tune gate scores the resulting weights at default
+        # eval settings. PARSENET_FAST_KNN_RECALL=0 is the gate-fallback
+        # escape hatch: strides-only bundle with default-recall graphs.
+        hp["knn_recall"] = float(os.environ.get("PARSENET_FAST_KNN_RECALL",
+                                                FAST_KNN_RECALL))
     model = PrimitivesEmbedding(emb_size=128, num_primitives=10,
                                 mode=5 if with_normals else 0,
                                 k=config.knn_k, **hp)

@@ -121,8 +121,13 @@ def bench_e2e(batch=1, n_points=8000, steps=3, ablate=None, tag=""):
                        if a)
     nograd = "nograd" in ablate
     ablate = tuple(a for a in ablate if a != "nograd")
+    # train-graph kNN recall: BT_FAST=1 measures the exact shipped bundle
+    # (FAST_KNN_RECALL, like run_training); BT_KNN_RECALL isolates the knob
+    from parsenet_tpu.train.train_e2e import FAST_KNN_RECALL
+    knn_recall = float(os.environ.get(
+        "BT_KNN_RECALL", FAST_KNN_RECALL if fast else 0.0))
     model = PrimitivesEmbedding(emb_size=128, num_primitives=10, mode=5, k=80,
-                                **_model_kw())
+                                knn_recall=knn_recall, **_model_kw())
     state = create_state(model, jax.random.PRNGKey(0),
                          (jnp.zeros((batch, n_points, 6)),))
     spline_fit = None if "splines" in ablate else build_spline_fit(grid=20)
@@ -159,6 +164,7 @@ def bench_e2e(batch=1, n_points=8000, steps=3, ablate=None, tag=""):
               "residual_stride": residual_stride,
               "siou_stride": siou_stride,
               "ms_att": ms_att or 0, "ms_att_pallas": ms_att_pallas,
+              "knn_recall": knn_recall,
               "ablate": ",".join(ablate) + (",nograd" if nograd else ""),
               "res_loss": float(m["res_loss"])}
     if not nograd:

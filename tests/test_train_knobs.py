@@ -134,3 +134,32 @@ def test_ms_attempt_pallas_interpret_path():
     assert float(a.bandwidth) == pytest.approx(float(b.bandwidth), rel=1e-5)
     # same accepted bandwidth + same differentiable re-run => same labels
     np.testing.assert_array_equal(np.asarray(a.labels), np.asarray(b.labels))
+
+
+def test_knn_recall_plumbing_cpu_noop():
+    """knn_recall threads model -> ops.knn -> _topk_neighbors. On CPU the
+    exact path always runs (recall only selects the approx_max_k target on
+    TPU), so a recall override must be a structural no-op here — this pins
+    the plumbing (the arg is jit-static and reaches every layer) without
+    pretending CPU can measure the approx tradeoff (the chip arm +
+    fine-tune gate do that)."""
+    from parsenet_tpu.ops import knn as knn_ops
+    from parsenet_tpu.train.train_e2e import FAST_KNN_RECALL
+
+    host = np.random.RandomState(0)
+    x = jnp.asarray(host.randn(2, 128, 6).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(knn_ops.knn(x, k1=8)),
+        np.asarray(knn_ops.knn(x, k1=8, recall=FAST_KNN_RECALL)))
+    np.testing.assert_array_equal(
+        np.asarray(knn_ops.knn_points_normals(x, k1=8)),
+        np.asarray(knn_ops.knn_points_normals(x, k1=8, recall=0.7)))
+
+    model_d = PrimitivesEmbedding(emb_size=16, num_primitives=10, mode=5, k=8)
+    model_r = PrimitivesEmbedding(emb_size=16, num_primitives=10, mode=5, k=8,
+                                  knn_recall=FAST_KNN_RECALL)
+    params = model_d.init(jax.random.PRNGKey(0), x)
+    e_d, p_d = model_d.apply(params, x)
+    e_r, p_r = model_r.apply(params, x)
+    np.testing.assert_allclose(np.asarray(e_d), np.asarray(e_r), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_d), np.asarray(p_r), rtol=1e-6)
