@@ -12,8 +12,8 @@ export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_tpu_cache
 KNOBS=logs/r5_knob_arms.jsonl
 step() { echo "== $(date -u +%H:%M:%SZ) $*"; }
 
-step "waiting for extra chain completion"
-while ! grep -q "extra chain complete" logs/r5_extra.log 2>/dev/null; do
+step "waiting for part5 chain completion"
+while ! grep -q "part5 chain complete" logs/r5_part5.log 2>/dev/null; do
   sleep 60
 done
 step "chip free — knob arms"
