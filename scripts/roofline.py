@@ -153,7 +153,14 @@ MODELS = {
 
 
 def load_arm_times(path: str) -> dict:
-    """{arm: per-batch seconds} from the queue's jsonl ({"arm":, "result":})."""
+    """{arm: per-batch seconds} from the queue's jsonl ({"arm":, "result":}).
+
+    Replicate arms (label + trailing digits, e.g. recon2 re-measuring
+    recon) are merged by MIN time: the axon relay's failure modes are
+    one-sided (slow claim / wedge recovery inflates every dispatch — the
+    20:27Z round-5 recon arm measured 41x the full pipeline right after a
+    959 s preflight recovery), so the fastest replicate is the best
+    estimate of the program's true cost."""
     times = {}
     with open(path) as f:
         for line in f:
@@ -169,21 +176,33 @@ def load_arm_times(path: str) -> dict:
             if not v:
                 continue
             batch = r.get("detail", {}).get("batch", B)
-            times[rec["arm"]] = batch * 3600.0 / v
+            arm = rec["arm"].rstrip("0123456789")
+            t = batch * 3600.0 / v
+            times[arm] = min(times.get(arm, math.inf), t)
     return times
 
 
 def stage_costs(times: dict) -> dict:
-    """Per-batch stage seconds by ground-truth-ablation subtraction."""
+    """Per-batch stage seconds by ground-truth-ablation subtraction.
+
+    A NEGATIVE cost means the ablated program ran slower than the full
+    pipeline — an anomalous measurement (relay degradation or an XLA
+    schedule pathology in the reduced graph), not a real stage cost; such
+    arms are dropped from the table and listed under 'anomalous'."""
     full = times["full"]
-    costs = {}
+    costs, anomalous = {}, {}
     for arm in ("ms", "recon", "splines", "residual", "coverage",
                 "preprocess"):
         if arm in times:
-            costs[arm] = full - times[arm]
-    if "recon" in times and "ms" in times:
+            c = full - times[arm]
+            if c < 0:
+                anomalous[arm] = times[arm]
+            else:
+                costs[arm] = c
+    if "recon" in costs and "ms" in costs:
         costs["net"] = times["recon"] + times["ms"] - full
     costs["full"] = full
+    costs["_anomalous"] = anomalous
     return costs
 
 
@@ -227,6 +246,7 @@ def main(argv=None) -> int:
               "stage-4 sweep first", file=sys.stderr)
         return 1
     costs = stage_costs(times)
+    anomalous = costs.pop("_anomalous")
     rows = roofline_rows(costs)
 
     accounted = sum(costs[r["stage"]] for r in rows)
@@ -236,6 +256,8 @@ def main(argv=None) -> int:
         per_batch_s=dict(full=costs["full"],
                          accounted=accounted,
                          unattributed=costs["full"] - accounted),
+        anomalous_arm_times_s={k: round(v, 4)
+                               for k, v in anomalous.items()},
         stages=rows,
         arm_times_s={k: round(v, 4) for k, v in times.items()},
         method="ground-truth ablation subtraction (bench.py BENCH_ABLATE); "
@@ -257,6 +279,10 @@ def main(argv=None) -> int:
           f"{accounted*1e3:.1f} ms; unattributed "
           f"{(costs['full']-accounted)*1e3:.1f} ms "
           f"(relay fixed cost ~30 ms/dispatch + top-k partial reductions)")
+    for arm, t in anomalous.items():
+        print(f"ANOMALOUS arm {arm}: {t*1e3:.1f} ms/batch > full — "
+              "dropped (relay degradation or reduced-graph schedule "
+              "pathology); re-measure before trusting")
     print(f"wrote {args.out}")
     return 0
 
