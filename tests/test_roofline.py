@@ -1,75 +1,91 @@
-"""scripts/roofline.py — stage-cost algebra and report shape.
+"""Roofline tooling (scripts/roofline.py, VERDICT r4 task 4).
 
-The roofline statement (round-4 verdict task 4) turns the queue's
-BENCH_ABLATE arm table into per-stage costs by ground-truth-ablation
-subtraction; these tests pin the algebra (incl. the inclusion-exclusion
-net isolation) and the artifact schema on a synthetic arm table.
+The stage table is only as good as the arm-time loader: the axon relay's
+one-sided failure modes (slow claim / wedge recovery) inflated two round-5
+ablation arms 41x/50x past the FULL pipeline, which would have driven the
+subtraction-based stage costs negative. These tests pin the guards:
+replicate arms merge by MIN time, and slower-than-full ablations are
+dropped into an 'anomalous' section instead of corrupting the table.
 """
+from __future__ import annotations
+
+import importlib.util
 import json
+import os
 import sys
-from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
-
-import roofline
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _write_arms(path, times_s):
-    # times are per-batch seconds; bench value is shapes/hour at batch B
-    with path.open("w") as f:
-        for arm, t in times_s.items():
-            v = roofline.B * 3600.0 / t
-            rec = {"arm": arm, "result": {
-                "metric": "shapes_per_hour", "value": v,
-                "detail": {"batch": roofline.B}}}
-            f.write(json.dumps(rec) + "\n")
-        # error records must be ignored
-        f.write(json.dumps({"arm": "coverage", "error": 124}) + "\n")
+def _roofline():
+    spec = importlib.util.spec_from_file_location(
+        "roofline", os.path.join(REPO, "scripts", "roofline.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
-def test_stage_cost_algebra(tmp_path):
-    # full 0.5 s; ablating ms saves 0.1, recon saves 0.25, splines 0.05
-    arms = {"full": 0.5, "ms": 0.4, "recon": 0.25, "splines": 0.45,
-            "residual": 0.48, "preprocess": 0.49}
-    p = tmp_path / "arms.jsonl"
-    _write_arms(p, arms)
-    times = roofline.load_arm_times(str(p))
-    assert abs(times["full"] - 0.5) < 1e-9
-    costs = roofline.stage_costs(times)
-    assert abs(costs["ms"] - 0.1) < 1e-9
-    assert abs(costs["recon"] - 0.25) < 1e-9
-    # net = t(recon-ablated) + t(ms-ablated) - t(full) = 0.25 + 0.4 - 0.5
-    assert abs(costs["net"] - 0.15) < 1e-9
-    assert abs(costs["splines"] - 0.05) < 1e-9
+def _arm(name, shapes_per_hour, batch=4):
+    return json.dumps({"arm": name, "result": {
+        "value": shapes_per_hour, "detail": {"batch": batch}}})
 
 
-def test_report_artifact(tmp_path, capsys):
-    arms = {"full": 0.512, "ms": 0.40, "recon": 0.26, "splines": 0.47,
-            "residual": 0.49, "coverage": 0.50, "preprocess": 0.505}
-    p = tmp_path / "arms.jsonl"
-    _write_arms(p, arms)
+def test_replicates_merge_by_min_time(tmp_path):
+    rl = _roofline()
+    p = tmp_path / "abl.jsonl"
+    # recon measured twice: once degraded (slow relay), once healthy.
+    p.write_text("\n".join([
+        _arm("full", 26718.3),
+        _arm("recon", 648.1),      # degraded: 22.2 s/batch
+        _arm("recon2", 30000.0),   # healthy re-measure: 0.48 s/batch
+    ]) + "\n")
+    times = rl.load_arm_times(str(p))
+    assert set(times) == {"full", "recon"}
+    assert abs(times["recon"] - 4 * 3600.0 / 30000.0) < 1e-9
+
+
+def test_anomalous_arms_dropped_not_subtracted(tmp_path):
+    rl = _roofline()
+    p = tmp_path / "abl.jsonl"
+    p.write_text("\n".join([
+        _arm("full", 26718.3),     # 0.539 s/batch
+        _arm("ms", 38223.1),       # faster than full: real stage cost
+        _arm("splines", 537.4),    # 26.8 s/batch: anomalous
+    ]) + "\n")
+    costs = rl.stage_costs(rl.load_arm_times(str(p)))
+    anomalous = costs.pop("_anomalous")
+    assert "splines" in anomalous and "splines" not in costs
+    assert costs["ms"] > 0
+    # net needs BOTH recon and ms; with recon missing it must not appear
+    assert "net" not in costs
+
+
+def test_error_records_and_blank_lines_skipped(tmp_path):
+    rl = _roofline()
+    p = tmp_path / "abl.jsonl"
+    p.write_text(_arm("full", 26718.3) + "\n\n"
+                 + json.dumps({"arm": "ms", "error": 124}) + "\n")
+    times = rl.load_arm_times(str(p))
+    assert set(times) == {"full"}
+
+
+def test_end_to_end_writes_table(tmp_path, capsys):
+    rl = _roofline()
+    p = tmp_path / "abl.jsonl"
+    p.write_text("\n".join([
+        _arm("full", 26718.3),
+        _arm("ms", 38223.1),
+        _arm("recon", 648.1),       # anomalous — must surface in output
+        _arm("residual", 27614.9),
+    ]) + "\n")
     out = tmp_path / "roofline.json"
-    rc = roofline.main(["--ablate", str(p), "--out", str(out)])
+    rc = rl.main(["--ablate", str(p), "--out", str(out)])
     assert rc == 0
-    rep = json.loads(out.read_text())
-    stages = {r["stage"]: r for r in rep["stages"]}
-    # every modeled stage present, with both utilization numbers
-    for s in ("net", "ms", "splines", "residual", "coverage", "preprocess"):
-        assert s in stages
-        assert stages[s]["mfu_pct"] is not None
-        assert stages[s]["hbm_util_pct"] is not None
-        assert stages[s]["bound"] in ("compute", "bandwidth")
-        # a physical floor can never exceed... the measured time CAN be
-        # below a wrong model, but the report must carry the ratio
-        assert stages[s]["fraction_of_floor"] is not None
-    # residual map is elementwise — must be classified off the MXU roof
-    assert stages["residual"]["model_gflops"] < 1.0
-    # unattributed time = full - sum(stage costs) is reported
-    assert "unattributed" in rep["per_batch_s"]
-
-
-def test_missing_full_arm(tmp_path, capsys):
-    p = tmp_path / "arms.jsonl"
-    _write_arms(p, {"ms": 0.4})
-    assert roofline.main(["--ablate", str(p),
-                          "--out", str(tmp_path / "o.json")]) == 1
+    data = json.loads(out.read_text())
+    assert "recon" in data["anomalous_arm_times_s"]
+    stages = {r["stage"] for r in data["stages"]}
+    assert {"ms", "residual"} <= stages
+    for row in data["stages"]:
+        assert row["measured_ms"] > 0
+        assert row["bound"] in ("compute", "bandwidth")
+    assert "ANOMALOUS arm recon" in capsys.readouterr().out
