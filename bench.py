@@ -276,8 +276,9 @@ def main():
     # cost an extra relay roundtrip per metric.
     # BENCH_ABLATE: comma list of sections to stub out for in-context stage
     # costing (ground-truth ablation — the tunnel makes standalone stage
-    # timing unreliable). Sections: recon, splines, preprocess, coverage,
-    # residual. Production runs leave it unset.
+    # timing unreliable). Sections: ms (clustering + SIOU), siou (SIOU
+    # matching only — mean-shift still runs), recon, splines, preprocess,
+    # coverage, residual. Production runs leave it unset.
     ablate = tuple(s for s in os.environ.get("BENCH_ABLATE", "").split(",")
                    if s)
     sfit = None if "splines" in ablate else spline_fit
@@ -318,7 +319,8 @@ def main():
             # guarded by the quality floors; library default is f32
             pred = predict_segmentation(apply_fn, x, lab, pr, k1,
                                         ms_bf16=ms_bf16,
-                                        ms_num_samples=min(5000, NUM_POINTS))
+                                        ms_num_samples=min(5000, NUM_POINTS),
+                                        skip_siou="siou" in ablate)
         if "recon" in ablate:
             zero = jnp.zeros(())
             return pred, zero

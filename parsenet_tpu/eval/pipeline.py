@@ -58,13 +58,15 @@ class SegmentationPrediction(NamedTuple):
 
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("quantile", "iterations",
-                                    "ms_num_samples", "ms_bf16"))
+                                    "ms_num_samples", "ms_bf16",
+                                    "skip_siou"))
 def predict_segmentation(apply_fn: Callable, x: jnp.ndarray,
                          gt_labels: jnp.ndarray, gt_prim: jnp.ndarray,
                          key: jax.Array, quantile: float = 0.015,
                          iterations: int = 50,
                          ms_num_samples: int = 5000,
-                         ms_bf16: bool = False) -> SegmentationPrediction:
+                         ms_bf16: bool = False,
+                         skip_siou: bool = False) -> SegmentationPrediction:
     """One shape. apply_fn(x[None]) -> (embedding [1,N,D], prim_logp [1,N,C])."""
     from ..ops.pallas_kernels import pallas_available
     emb, prim_logp = apply_fn(x[None])
@@ -86,6 +88,13 @@ def predict_segmentation(apply_fn: Callable, x: jnp.ndarray,
                           use_pallas=pallas_available(),
                           pallas_bf16=ms_bf16,
                           differentiable=False)
+    if skip_siou:
+        # ablation knob (BENCH_ABLATE=siou): clustering runs, the SIOU/LAP
+        # matching is stubbed — isolates matching cost from mean-shift cost
+        # in the roofline (the 'ms' ablation stubs both)
+        one = jnp.float32(1.0)
+        return SegmentationPrediction(ms.labels, pred_prim, emb, one, one,
+                                      ms.num_clusters)
     w = to_one_hot(ms.labels)
     seg_iou, prim_iou = siou_matched_segments(gt_labels, ms.labels,
                                               pred_prim, gt_prim, w)

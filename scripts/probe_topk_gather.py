@@ -33,13 +33,19 @@ import numpy as np
 
 
 def _timed(fn, *args, iters: int = 10, warmup: int = 2) -> float:
-    """Median seconds per call, blocking every iteration."""
+    """Median seconds per call, HOST-FETCHING a scalar every iteration.
+
+    The tunneled runtime's block_until_ready returns before the program
+    finishes (CLAUDE.md; the first version of this probe measured ~0 ms
+    for every op that way). Each timed program therefore returns a scalar
+    reduction of its result and we force a host fetch per iteration —
+    execution is fully included, transfer is 4 bytes."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        float(np.asarray(fn(*args)))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        float(np.asarray(fn(*args)))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -59,16 +65,19 @@ def main() -> int:
     x64 = jnp.asarray(rng.randn(n, 64).astype(np.float32))
     idx = jnp.asarray(rng.randint(0, n, size=(n, k)).astype(np.int32))
 
+    # every program returns a SCALAR so the per-iteration host fetch is
+    # 4 bytes; the reductions depend on the full result, so nothing is
+    # dead-code-eliminated
     null = jax.jit(lambda a: a + 1.0)
     t_null = _timed(null, jnp.zeros(()))
 
     @jax.jit
     def topk_exact(s):
-        return jax.lax.top_k(s, k)[1]
+        return jnp.sum(jax.lax.top_k(s, k)[1])
 
     @functools.partial(jax.jit, static_argnames=("recall",))
     def topk_approx(s, recall):
-        return jax.lax.approx_max_k(s, k, recall_target=recall)[1]
+        return jnp.sum(jax.lax.approx_max_k(s, k, recall_target=recall)[1])
 
     @functools.partial(jax.jit, static_argnames=("recall", "chunk"))
     def knn_body(x, recall, chunk):
@@ -82,17 +91,17 @@ def main() -> int:
             return jax.lax.approx_max_k(neg, k, recall_target=recall)[1]
 
         qs = x.reshape(x.shape[0] // chunk, chunk, x.shape[1])
-        return jax.lax.map(body, qs).reshape(x.shape[0], k)
+        return jnp.sum(jax.lax.map(body, qs))
 
     @jax.jit
     def gather(f, i):
-        return f[i]  # [n, k, 128]
+        return jnp.sum(f[i])  # forces the [n, k, 128] gather
 
     @jax.jit
     def gather_reduce(f, i):
         g = f[i]
-        return (jnp.sum(g, 1), jnp.sum(g * g, 1), jnp.max(g, 1),
-                jnp.min(g, 1))
+        return (jnp.sum(g) + jnp.sum(g * g) + jnp.sum(jnp.max(g, 1))
+                + jnp.sum(jnp.min(g, 1)))
 
     out = {
         "backend": jax.default_backend(),

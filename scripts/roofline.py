@@ -100,9 +100,19 @@ def _ms_model() -> dict:
                  + 2 * N * MS_SAMPLES * EMB)
     byts = B * (MS_ITERS * MS_SAMPLES * EMB * 2 + N * EMB * 4)
     return dict(flops=flops, bytes=byts,
-                note="Pallas fused tiles; measured arm also includes SIOU "
-                     "matching (bench 'ms' ablation stubs seg_iou too — "
-                     "VPU/gather work, ~69 ms/batch in round 2)")
+                note="Pallas fused tiles; pure mean-shift when a 'siou' arm "
+                     "is present (stage_costs subtracts it), else the arm "
+                     "also includes SIOU matching (~69 ms/batch in round 2)")
+
+
+def _siou_model() -> dict:
+    """SIOU + matching (ops/segmentation.py): one-hot [N, K_MAX] masks,
+    [K_MAX, N] x [N, K_MAX] intersection matmuls (pred x gt), IoU table,
+    on-device LAP auction (measured 0.1 ms/solve-batch). Mostly one-hot
+    scatter + small matmuls; the mask materialization dominates bytes."""
+    flops = B * (2 * 2 * K_MAX * N * K_MAX)     # two intersection matmuls
+    byts = B * (2 * N * K_MAX * 4 + N * 8)      # two one-hot masks + labels
+    return dict(flops=flops, bytes=byts, note="one-hot masks + LAP auction")
 
 
 def _splines_model() -> dict:
@@ -145,6 +155,7 @@ def _preprocess_model() -> dict:
 MODELS = {
     "net": _net_model,
     "ms": _ms_model,
+    "siou": _siou_model,
     "splines": _splines_model,
     "residual": _residual_model,
     "coverage": _coverage_model,
@@ -191,7 +202,7 @@ def stage_costs(times: dict) -> dict:
     arms are dropped from the table and listed under 'anomalous'."""
     full = times["full"]
     costs, anomalous = {}, {}
-    for arm in ("ms", "recon", "splines", "residual", "coverage",
+    for arm in ("ms", "siou", "recon", "splines", "residual", "coverage",
                 "preprocess"):
         if arm in times:
             c = full - times[arm]
@@ -199,6 +210,16 @@ def stage_costs(times: dict) -> dict:
                 anomalous[arm] = times[arm]
             else:
                 costs[arm] = c
+    # the 'ms' ablation stubs clustering AND the SIOU matching; a 'siou'
+    # arm (matching only) splits them so 'ms' becomes pure mean-shift.
+    # A siou cost exceeding the combined cost is itself anomalous.
+    if "ms" in costs and "siou" in costs:
+        pure_ms = costs["ms"] - costs["siou"]
+        if pure_ms >= 0:
+            costs["ms"] = pure_ms
+        else:
+            anomalous["siou"] = times["siou"]
+            del costs["siou"]
     if "recon" in costs and "ms" in costs:
         costs["net"] = times["recon"] + times["ms"] - full
     costs["full"] = full

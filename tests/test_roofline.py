@@ -89,3 +89,38 @@ def test_end_to_end_writes_table(tmp_path, capsys):
         assert row["measured_ms"] > 0
         assert row["bound"] in ("compute", "bandwidth")
     assert "ANOMALOUS arm recon" in capsys.readouterr().out
+
+
+def test_siou_arm_splits_pure_mean_shift(tmp_path):
+    rl = _roofline()
+    p = tmp_path / "abl.jsonl"
+    # full 0.539 s/batch; ms-ablated saves 0.162 s; siou-ablated saves 0.065
+    p.write_text("\n".join([
+        _arm("full", 26718.3),
+        _arm("ms", 38223.1),
+        _arm("siou", 30392.0),
+    ]) + "\n")
+    times = rl.load_arm_times(str(p))
+    costs = rl.stage_costs(times)
+    costs.pop("_anomalous")
+    combined = times["full"] - times["ms"]
+    siou = times["full"] - times["siou"]
+    assert abs(costs["siou"] - siou) < 1e-9
+    assert abs(costs["ms"] - (combined - siou)) < 1e-9  # pure mean-shift
+
+
+def test_siou_exceeding_combined_is_anomalous(tmp_path):
+    rl = _roofline()
+    p = tmp_path / "abl.jsonl"
+    # siou arm "saves" more than the ms arm that stubs a superset — bogus
+    p.write_text("\n".join([
+        _arm("full", 26718.3),
+        _arm("ms", 30392.0),
+        _arm("siou", 38223.1),
+    ]) + "\n")
+    costs = rl.stage_costs(rl.load_arm_times(str(p)))
+    anomalous = costs.pop("_anomalous")
+    assert "siou" in anomalous and "siou" not in costs
+    # ms keeps its raw (combined) cost when the split is rejected
+    combined = 4 * 3600 / 26718.3 - 4 * 3600 / 30392.0
+    assert abs(costs["ms"] - combined) < 1e-9
