@@ -116,8 +116,8 @@ if STREAM not in ("a", "b"):
 # floors (its 24-shape exact-kNN protocol scores ~5pt lower on the same
 # weights, RESULTS.md). Set from the measured frontier minus noise so a
 # 2-point IoU regression actually trips the bench.
-with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "configs", "quality_floors.json")) as _f:
+_REPO = os.path.dirname(os.path.abspath(__file__))
+with open(os.path.join(_REPO, "configs", "quality_floors.json")) as _f:
     _FLOORS = json.load(_f)["bench"]
 FLOOR_SEG_IOU = _FLOORS["seg_iou_min"]
 CEIL_RESIDUAL = _FLOORS["residual_max"]
@@ -155,6 +155,9 @@ def load_trained_params(model):
               "tree; ignoring", file=sys.stderr)
         return None
 
+    # NOTE: resolution is cwd-relative BY DESIGN (bench runs from the repo
+    # root; tests sandbox via chdir). Only the SplineNet-source probe below
+    # mirrors build_spline_fit's module-relative committed-npz path.
     explicit = os.environ.get("BENCH_PARAMS")
     orbax_dirs = [n for n in ("parsenet_e2e", "parsenet_seg_normals")
                   if os.path.isdir(f"logs/checkpoints/{n}")
@@ -185,38 +188,56 @@ def load_trained_params(model):
     return target["params"], False
 
 
+def _splinenets_restorable(log_dir):
+    """True iff BOTH decoder checkpoints under log_dir/checkpoints have a
+    restorable orbax step — the exact test build_spline_fit's loader applies
+    (train_e2e.load_splinenet_variables: Checkpointer.latest_step). A mere
+    non-empty directory (interrupted write, leftover files) is NOT enough:
+    build_spline_fit would fall back to the shipped params/ npz while the
+    artifact claimed candidate decoders."""
+    from parsenet_tpu.core.checkpoint import Checkpointer
+    for name in ("open_splinenet", "closed_splinenet"):
+        d = os.path.join(log_dir, "checkpoints", name)
+        # isdir first: Checkpointer() mkdirs its directory, and a probe
+        # must not create empty checkpoint dirs as a side effect
+        if not os.path.isdir(d):
+            return False
+        try:
+            if Checkpointer(d).latest_step() is None:
+                return False
+        except Exception:
+            return False
+    return True
+
+
 def check_spline_dir():
     """Validate BENCH_SPLINE_DIR before any expensive setup.
 
     BENCH_SPLINE_DIR points the pipeline at a training dir's
     checkpoints/{open,closed}_splinenet decoders (the from-scratch gate uses
     this so a candidate is measured with ITS decoders, not the shipped
-    ones). An EXPLICIT setting whose checkpoints are missing is a hard
-    error (mirrors the BENCH_PARAMS refuse-to-silently-substitute rule): a
-    resumed gate after the training dir was lost must not quietly measure
-    the shipped decoders instead."""
+    ones). An EXPLICIT setting whose checkpoints are not RESTORABLE is a
+    hard error (mirrors the BENCH_PARAMS refuse-to-silently-substitute
+    rule): a resumed gate after the training dir was lost or a checkpoint
+    write was interrupted must not quietly measure the shipped decoders
+    instead."""
     spline_dir = os.environ.get("BENCH_SPLINE_DIR")
-    if spline_dir:
-        for name in ("open_splinenet", "closed_splinenet"):
-            d = os.path.join(spline_dir, "checkpoints", name)
-            if not (os.path.isdir(d) and any(os.scandir(d))):
-                raise SystemExit(
-                    f"bench: BENCH_SPLINE_DIR={spline_dir} is explicitly set "
-                    f"but {d} is missing/empty — refusing to silently fall "
-                    "back to the shipped decoders")
+    if spline_dir and not _splinenets_restorable(spline_dir):
+        raise SystemExit(
+            f"bench: BENCH_SPLINE_DIR={spline_dir} is explicitly set but "
+            "checkpoints/{open,closed}_splinenet has no restorable step — "
+            "refusing to silently fall back to the shipped decoders")
     return spline_dir
 
 
 def spline_source(log_dir):
     """Which SplineNet decoder source build_spline_fit(log_dir=...) will use,
     recorded in the bench detail so gate artifacts are self-describing
-    (mirrors build_spline_fit's resolution: checkpoints first, then the
-    committed params/ npz exports, else random)."""
-    if all(os.path.isdir(d) and any(os.scandir(d)) for d in
-           (os.path.join(log_dir, "checkpoints", n)
-            for n in ("open_splinenet", "closed_splinenet"))):
+    (mirrors build_spline_fit's resolution: restorable checkpoints first,
+    then the committed params/ npz exports, else random)."""
+    if _splinenets_restorable(log_dir):
         return f"{log_dir}/checkpoints"
-    if all(os.path.exists(os.path.join("params", f"{n}.npz"))
+    if all(os.path.exists(os.path.join(_REPO, "params", f"{n}.npz"))
            for n in ("open_splinenet", "closed_splinenet")):
         return "params"
     return "random"

@@ -62,12 +62,19 @@ def write_bench_slice(prefix: str, n: int) -> list:
     return [int(len(set(l.tolist()))) for l in lab[warm:warm + n]]
 
 
-def run_validate(config: str, n: int, knn: str, log_path: str) -> dict:
+def run_validate(config: str, n: int, knn: str, log_path: str,
+                 params: str = "") -> dict:
     env = dict(os.environ)
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts/validate_reference.py"),
-         config, "--num-shapes", str(n), "--knn-recall", knn],
-        capture_output=True, text=True, env=env, timeout=7200)
+    cmd = [sys.executable,
+           os.path.join(REPO, "scripts/validate_reference.py"),
+           config, "--num-shapes", str(n), "--knn-recall", knn]
+    if params:
+        # pin the weights: without --params, validate_reference prefers any
+        # orbax checkpoint under cfg.log_dir, so a stale logs/checkpoints/
+        # dir would silently swap the model under the diagnostic
+        cmd += ["--params", params]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         timeout=7200)
     with open(log_path, "w") as f:
         f.write(out.stdout + "\n--- stderr ---\n" + out.stderr)
     shapes = [(int(m.group(1)), float(m.group(2)), float(m.group(3)))
@@ -86,6 +93,10 @@ def main():
     ap.add_argument("--skip-std", action="store_true",
                     help="skip the standard-validate arm (reuse a previous "
                          "measurement for the seed-2 slice)")
+    ap.add_argument("--params",
+                    default=os.path.join(REPO, "params/parsenet_e2e.npz"),
+                    help="npz weights to evaluate (default: the shipped "
+                         "bundle; '' lets validate_reference resolve)")
     ap.add_argument("--out", default=os.path.join(REPO, "artifacts",
                                                   "r5_offset_diag.json"))
     args = ap.parse_args()
@@ -108,14 +119,14 @@ def main():
           flush=True)
     result["validate_on_bench_shapes"] = run_validate(
         cfg_path, args.num_shapes, args.knn,
-        os.path.join(REPO, "logs/r5_offset_vbench.log"))
+        os.path.join(REPO, "logs/r5_offset_vbench.log"), params=args.params)
     if not args.skip_std:
         print("== validate protocol on ITS OWN shapes (seed-2 h5 slice)",
               flush=True)
         result["validate_standard"] = run_validate(
             os.path.join(REPO, "configs/config_eval_final.yml"),
             args.num_shapes, args.knn,
-            os.path.join(REPO, "logs/r5_offset_vstd.log"))
+            os.path.join(REPO, "logs/r5_offset_vstd.log"), params=args.params)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

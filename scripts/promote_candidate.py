@@ -142,6 +142,15 @@ def main():
         ("stream-a measured at 10k", a.get("num_points") == 10000),
         ("stream-a is stream a", a.get("stream", "a") == "a"),
         ("stream-a trained params", bool(a.get("trained_params"))),
+        # quality_ok is vacuously true when bench didn't evaluate floors
+        # (ablated/reduced runs set floors_applied=false); the gate must see
+        # floors actually applied, and never accept an ablated pipeline
+        # (BENCH_ABLATE stubs stages — e.g. ablate=ms records seg_iou 1.0).
+        # Old artifacts predate both fields and default to full/applied.
+        ("stream-a floors actually applied",
+         bool(a.get("floors_applied", True))),
+        ("no stage ablated (a/b/shipped-b)",
+         not a.get("ablate") and not b.get("ablate") and not sb.get("ablate")),
         ("stream-a floors green", bool(a.get("quality_ok"))),
         (f"stream-a seg_iou {a['seg_iou']:.4f} >= shipped "
          f"{shipped_a_iou:.4f}", a["seg_iou"] >= shipped_a_iou),
@@ -170,8 +179,12 @@ def main():
         if src is None:
             continue
         if args.cand_spline_prefix:
+            # must be a real checkpoint dir — "params" means shipped
+            # decoders, "random" means NO decoders were restorable (the
+            # gate measured randomly initialized SplineNets)
             checks.append((f"{label} measured with candidate decoders "
-                           f"(spline_src={src})", src != "params"))
+                           f"(spline_src={src})",
+                           src.endswith("/checkpoints")))
         else:
             checks.append((f"{label} measured with shipped decoders "
                            f"(spline_src={src})", src == "params"))

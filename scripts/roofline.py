@@ -38,6 +38,7 @@ import argparse
 import json
 import math
 import os
+import re
 import sys
 
 # ---- v5e peaks -----------------------------------------------------------
@@ -163,6 +164,10 @@ MODELS = {
 }
 
 
+KNOWN_ARMS = ("full", "ms", "siou", "recon", "splines", "residual",
+              "coverage", "preprocess")
+
+
 def load_arm_times(path: str) -> dict:
     """{arm: per-batch seconds} from the queue's jsonl ({"arm":, "result":}).
 
@@ -187,7 +192,14 @@ def load_arm_times(path: str) -> dict:
             if not v:
                 continue
             batch = r.get("detail", {}).get("batch", B)
-            arm = rec["arm"].rstrip("0123456789")
+            # replicate labels are a KNOWN arm name + ONE digit (recon2,
+            # splines3, ...). Anything else keeps its own label — a
+            # variant like 'ms2048' or 'chunk5000' must never silently
+            # fold into a stage arm by MIN.
+            arm = rec["arm"]
+            m = re.fullmatch(r"([a-z_]+)(\d)", arm)
+            if m and m.group(1) in KNOWN_ARMS:
+                arm = m.group(1)
             t = batch * 3600.0 / v
             times[arm] = min(times.get(arm, math.inf), t)
     return times
@@ -221,7 +233,16 @@ def stage_costs(times: dict) -> dict:
             anomalous["siou"] = times["siou"]
             del costs["siou"]
     if "recon" in costs and "ms" in costs:
-        costs["net"] = times["recon"] + times["ms"] - full
+        # inclusion-exclusion is only as good as its inputs: a net cost
+        # outside [0, full] means at least one arm time is relay-inflated
+        # (the direct subtractions are individually guarded above, but the
+        # SUM of two mildly-degraded arms can still overshoot) — report it
+        # as anomalous rather than printing an absurd MFU row
+        net = times["recon"] + times["ms"] - full
+        if 0.0 <= net <= full:
+            costs["net"] = net
+        else:
+            anomalous["net"] = net
     costs["full"] = full
     costs["_anomalous"] = anomalous
     return costs
@@ -301,9 +322,14 @@ def main(argv=None) -> int:
           f"{(costs['full']-accounted)*1e3:.1f} ms "
           f"(relay fixed cost ~30 ms/dispatch + top-k partial reductions)")
     for arm, t in anomalous.items():
-        print(f"ANOMALOUS arm {arm}: {t*1e3:.1f} ms/batch > full — "
-              "dropped (relay degradation or reduced-graph schedule "
-              "pathology); re-measure before trusting")
+        if arm == "net":
+            print(f"ANOMALOUS net cost: inclusion-exclusion gave "
+                  f"{t*1e3:.1f} ms (outside [0, full]) — at least one of "
+                  "the recon/ms arm times is relay-inflated; dropped")
+        else:
+            print(f"ANOMALOUS arm {arm}: {t*1e3:.1f} ms/batch > full — "
+                  "dropped (relay degradation or reduced-graph schedule "
+                  "pathology); re-measure before trusting")
     print(f"wrote {args.out}")
     return 0
 

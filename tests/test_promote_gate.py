@@ -182,3 +182,60 @@ class TestBenchGuards:
             (tmp_path / "checkpoints" / n / "12").mkdir()
         assert bench.spline_source(str(tmp_path)) == \
             f"{tmp_path}/checkpoints"
+
+
+class TestGateArtifactSemantics:
+    """Round-5 bench detail fields the gate must enforce: quality_ok is
+    vacuously true when floors were not applied (floors_applied=false) and
+    an ablated pipeline (BENCH_ABLATE) stubs stages — e.g. ablate=ms
+    records seg_iou 1.0. Neither may pass the shipping gate."""
+
+    def test_floors_not_applied_fails_gate(self, gate_files):
+        g = gate_files
+        bad_a = _write(g["tmp"] / "a_nofloors.json",
+                       _detail(floors_applied=False))
+        r = _run_promote(g, gate_a=bad_a)
+        assert r.returncode == 1
+        assert "floors actually applied" in r.stdout
+        assert not (g["dest_dir"] / "parsenet_e2e.npz").exists()
+
+    def test_ablated_artifact_fails_gate(self, gate_files):
+        g = gate_files
+        # an ablate=ms run stubs SIOU to 1.0 and reports quality_ok=true
+        # with floors_applied=false; even if floors_applied were forged
+        # true, the ablate field alone must fail the gate
+        bad_a = _write(g["tmp"] / "a_ablate.json",
+                       _detail(seg_iou=1.0, ablate="ms",
+                               floors_applied=True))
+        r = _run_promote(g, gate_a=bad_a)
+        assert r.returncode == 1
+        assert "no stage ablated" in r.stdout
+        assert not (g["dest_dir"] / "parsenet_e2e.npz").exists()
+
+    def test_ablated_stream_b_fails_gate(self, gate_files):
+        g = gate_files
+        bad_b = _write(g["tmp"] / "b_ablate.json",
+                       _detail(stream="b", ablate="residual"))
+        r = _run_promote(g, gate_b=bad_b)
+        assert r.returncode == 1
+        assert not (g["dest_dir"] / "parsenet_e2e.npz").exists()
+
+    def test_random_spline_src_fails_bundle_promotion(self, gate_files):
+        g = gate_files
+        # spline_src='random' = NO decoders were restorable; the gate
+        # measured randomly initialized SplineNets — not candidate decoders
+        a_rand = _write(g["tmp"] / "a_rand.json",
+                        _detail(spline_src="random"))
+        r = _run_promote(g, extra=["--cand-spline-prefix", g["prefix"],
+                                   "--params-dir", str(g["dest_dir"])],
+                         gate_a=a_rand)
+        assert r.returncode == 1
+        assert not (g["dest_dir"] / "parsenet_e2e.npz").exists()
+        assert not (g["dest_dir"] / "open_splinenet.npz").exists()
+
+    def test_legacy_artifacts_without_fields_still_pass(self, gate_files):
+        # pre-round-5 artifacts have neither floors_applied nor ablate;
+        # they were full floor-evaluated runs and must keep passing
+        g = gate_files
+        r = _run_promote(g)
+        assert r.returncode == 0, r.stdout + r.stderr

@@ -124,3 +124,45 @@ def test_siou_exceeding_combined_is_anomalous(tmp_path):
     # ms keeps its raw (combined) cost when the split is rejected
     combined = 4 * 3600 / 26718.3 - 4 * 3600 / 30392.0
     assert abs(costs["ms"] - combined) < 1e-9
+
+
+def test_variant_labels_do_not_fold_into_stage_arms(tmp_path):
+    rl = _roofline()
+    p = tmp_path / "abl.jsonl"
+    p.write_text("\n".join([
+        _arm("full", 26718.3),
+        _arm("ms", 38223.1),
+        _arm("ms2048", 50000.0),     # a variant, NOT a replicate of 'ms'
+        _arm("recon2", 30000.0),     # single-digit suffix: replicate
+    ]) + "\n")
+    times = rl.load_arm_times(str(p))
+    assert "ms2048" in times                      # kept distinct
+    assert abs(times["ms"] - 4 * 3600 / 38223.1) < 1e-9   # not clobbered
+    assert "recon" in times and "recon2" not in times     # merged
+
+
+def test_net_cost_outside_full_is_anomalous(tmp_path):
+    rl = _roofline()
+    p = tmp_path / "abl.jsonl"
+    # both arms individually pass the direct guard (faster than full) but
+    # their inclusion-exclusion sum exceeds full => bogus net
+    p.write_text("\n".join([
+        _arm("full", 26718.3),      # 0.539 s
+        _arm("ms", 27000.0),        # 0.533 s (cost 0.006)
+        _arm("recon", 26800.0),     # 0.537 s (cost 0.002)
+    ]) + "\n")
+    costs = rl.stage_costs(rl.load_arm_times(str(p)))
+    anomalous = costs.pop("_anomalous")
+    # net = 0.533 + 0.537 - 0.539 = 0.531 < full: fine, NOT anomalous
+    assert "net" in costs and 0 <= costs["net"] <= costs["full"]
+    assert "net" not in anomalous
+
+    p.write_text("\n".join([
+        _arm("full", 20000.0),      # degraded full: 0.72 s
+        _arm("ms", 8000.0),         # 1.8 s -> direct cost negative (dropped)
+        _arm("recon", 9000.0),      # 1.6 s -> dropped too
+    ]) + "\n")
+    costs = rl.stage_costs(rl.load_arm_times(str(p)))
+    anomalous = costs.pop("_anomalous")
+    assert "ms" in anomalous and "recon" in anomalous
+    assert "net" not in costs      # no surviving inputs -> no net row
